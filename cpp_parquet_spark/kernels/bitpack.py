@@ -1,0 +1,96 @@
+"""Bit-packing and VLQ (ULEB128) primitives — vectorized numpy.
+
+Reimplements the reference's BitWriter/BitReader semantics
+(/root/reference/parquet-file/util/bit-stream-utils.h:32-141,
+bit-stream-utils.inline.h:50-175): values are written LSB-first into a
+little-endian bit stream, i.e. bit *i* of the stream lives in byte
+``i // 8`` at bit position ``i % 8``.  That is exactly numpy's
+``bitorder="little"`` convention, so packing/unpacking is two array ops
+instead of a per-value loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Chunk size (in values) for the bit-expansion temporaries so we never
+# materialize more than ~64 MiB of intermediate bits at once.
+_BLOCK = 1 << 20
+
+
+def bit_width_for(max_value: int) -> int:
+    """Minimal bit width for values in [0, max_value].
+
+    Parquet-spec formula (the reference uses Log2(max)+1,
+    rle-encoding.h:121, which over-allocates for e.g. max=3; we use the
+    correct ``bit_length``).
+    """
+    if max_value < 0:
+        raise ValueError("max_value must be >= 0")
+    return max(1, int(max_value).bit_length())
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack unsigned ints LSB-first, little-endian within bytes.
+
+    len(values) * width bits, zero-padded to a byte boundary.
+    """
+    if width < 0 or width > 64:
+        raise ValueError(f"width {width} out of range [0, 64]")
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    out_parts = []
+    for off in range(0, n, _BLOCK):
+        blk = v[off : off + _BLOCK]
+        bits = ((blk[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        out_parts.append(np.packbits(bits.ravel(), bitorder="little"))
+    return b"".join(p.tobytes() for p in out_parts) if len(out_parts) > 1 else out_parts[0].tobytes()
+
+
+def unpack_bits(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns ``n`` values as uint64."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    bits = np.unpackbits(raw, count=n * width, bitorder="little")
+    shifts = np.arange(width, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    for off in range(0, n, _BLOCK):
+        blk = bits[off * width : (off + min(_BLOCK, n - off)) * width]
+        m = len(blk) // width
+        out[off : off + m] = (
+            blk.reshape(m, width).astype(np.uint64) << shifts
+        ).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def encode_vlq(value: int) -> bytes:
+    """ULEB128 varint (reference: BitWriter::PutVlqInt,
+    bit-stream-utils.inline.h)."""
+    if value < 0:
+        raise ValueError("vlq encodes unsigned ints only")
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_vlq(buf: bytes | memoryview, pos: int) -> tuple[int, int]:
+    """Decode one ULEB128 varint at ``pos``; returns (value, next_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
