@@ -1,0 +1,141 @@
+"""Statistics-driven codec auto-selector.
+
+North-rule component (BASELINE.json north_star; cf. PAPERS.md:8,
+"Adaptive Compression for Fast Scans on String Columns"): per column
+chunk, sample cardinality / run structure / byte entropy via Arrow
+compute + numpy, shortlist candidate codecs by rule, then encode a
+deterministic sample with each shortlisted codec and keep the smallest.
+
+The reference has no equivalent — its only "choice" is the RLE
+encoder's internal repeated-vs-literal decision (rle-encoding.h:269-298);
+this module lifts that adaptivity to whole-column granularity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cpp_parquet_spark.kernels.plain import plain_size
+from cpp_parquet_spark.kernels.rle_runs import run_count
+
+_SAMPLE_ROWS = 2048
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    cardinality: int
+    runs: int
+    avg_len: float  # BYTE_ARRAY only; 0 otherwise
+    byte_entropy: float  # BYTE_ARRAY only (bits/byte on sample); 0 otherwise
+    int_range_bits: int  # integer types only; width of (max-min)
+
+
+def _sample(values: pa.Array) -> pa.Array:
+    n = len(values)
+    if n <= _SAMPLE_ROWS:
+        return values
+    step = n // _SAMPLE_ROWS
+    idx = np.arange(0, step * _SAMPLE_ROWS, step, dtype=np.int64)
+    return values.take(pa.array(idx))
+
+
+def column_stats(values: pa.Array, physical: str) -> ColumnStats:
+    n = len(values)
+    if n == 0:
+        return ColumnStats(0, 0, 0, 0.0, 0.0, 0)
+    sample = _sample(values)
+    card = pc.count_distinct(sample).as_py()
+    # runs must be measured on a *contiguous* slice — a strided sample
+    # destroys run structure
+    runs = run_count(values.slice(0, min(n, _SAMPLE_ROWS)))
+    avg_len = entropy = 0.0
+    range_bits = 0
+    if physical == "BYTE_ARRAY":
+        lens = pc.binary_length(sample)
+        avg_len = float(pc.mean(lens).as_py() or 0.0)
+        bin_sample = sample.cast(pa.large_binary())
+        buf = bin_sample.buffers()[2]
+        if buf is not None and len(buf) > 0:
+            raw = np.frombuffer(buf, dtype=np.uint8)[: 1 << 16]
+            hist = np.bincount(raw, minlength=256).astype(np.float64)
+            p = hist[hist > 0] / len(raw)
+            entropy = float(-(p * np.log2(p)).sum())
+    elif physical in ("INT32", "INT64"):
+        t = sample
+        if pa.types.is_timestamp(t.type) or pa.types.is_date(t.type):
+            t = t.cast(pa.int64())
+        mm = pc.min_max(t)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        range_bits = int(hi - lo).bit_length() if hi is not None else 0
+    return ColumnStats(n, card, runs, avg_len, entropy, range_bits)
+
+
+def shortlist(stats: ColumnStats, physical: str) -> list[str]:
+    """Rule-based candidate codecs, cheapest-to-try first."""
+    if stats.n == 0:
+        return ["plain"]
+    s = stats
+    sample_n = min(s.n, _SAMPLE_ROWS)
+    cands: list[str] = []
+    runny = s.runs <= max(1, sample_n // 8)
+    low_card = s.cardinality <= max(1, sample_n // 4)
+    if physical == "BYTE_ARRAY":
+        if runny:
+            cands.append("rle")
+        if low_card:
+            cands.append("dict")
+        # redundancy worth FSST: mid/low entropy or long repetitive strings
+        if s.avg_len >= 8 and (s.byte_entropy < 7.0 or not cands):
+            cands.append("fsst")
+        cands.append("plain")
+    elif physical in ("INT32", "INT64"):
+        if runny:
+            cands.append("rle")
+        if low_card:
+            cands.append("dict")
+        type_bits = 32 if physical == "INT32" else 64
+        if s.int_range_bits < type_bits - 8:
+            cands.append("for")
+        cands.append("plain")
+    else:  # FLOAT/DOUBLE/BOOLEAN
+        if runny:
+            cands.append("rle")
+        if low_card:
+            cands.append("dict")
+        cands.append("plain")
+    return cands
+
+
+def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
+    """Pick the codec for one column chunk.
+
+    mode='auto': rule shortlist, then trial-encode a sample and keep the
+    smallest output (deterministic).  mode=<codec name>: forced.
+    """
+    if mode != "auto":
+        return mode
+    stats = column_stats(values, physical)
+    cands = shortlist(stats, physical)
+    if len(cands) == 1:
+        return cands[0]
+    from cpp_parquet_spark.chunk import _encode_values
+
+    # trial-encode a contiguous prefix so run-based codecs compete fairly
+    sample = values.slice(0, min(len(values), _SAMPLE_ROWS))
+    base = plain_size(sample, physical)
+    best, best_size = "plain", base
+    for c in cands:
+        if c == "plain":
+            continue
+        try:
+            sz = len(_encode_values(sample, c, physical))
+        except (ValueError, TypeError):
+            continue
+        if sz < best_size:
+            best, best_size = c, sz
+    return best

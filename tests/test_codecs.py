@@ -1,0 +1,175 @@
+"""Value-codec round-trip + size tests (plain, dict, rle, for, fsst)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cpp_parquet_spark.kernels.dictionary import decode_dict, encode_dict
+from cpp_parquet_spark.kernels.forpack import decode_for, encode_for
+from cpp_parquet_spark.kernels.fsst import decode_fsst, encode_fsst
+from cpp_parquet_spark.kernels.plain import decode_plain, encode_plain, plain_size
+from cpp_parquet_spark.kernels.rle_runs import decode_rle_runs, encode_rle_runs
+
+
+def plain_rt(values, physical, arrow_type):
+    arr = pa.array(values, type=arrow_type)
+    enc = encode_plain(arr, physical)
+    assert len(enc) == plain_size(arr, physical)
+    out = decode_plain(enc, len(arr), physical, arrow_type)
+    assert out.to_pylist() == arr.to_pylist()
+    return enc
+
+
+def test_plain_fixed_types():
+    # F2: sentinel max values per type (ref parquet-file-test.cc:88-112)
+    plain_rt([2**31 - 1] * 500, "INT32", pa.int32())
+    plain_rt([2**63 - 1] * 500, "INT64", pa.int64())
+    plain_rt([3.4e38] * 500, "FLOAT", pa.float32())
+    plain_rt([1.7e308] * 500, "DOUBLE", pa.float64())
+    plain_rt([True, False] * 250, "BOOLEAN", pa.bool_())
+
+
+def test_plain_fixed_layout():
+    enc = plain_rt([1, 2], "INT32", pa.int32())
+    assert enc == b"\x01\x00\x00\x00\x02\x00\x00\x00"
+
+
+def test_plain_byte_array_layout():
+    # u32 LE length prefix + bytes (parquet-column.cc:238-258)
+    enc = plain_rt([b"ab", b"", b"xyz"], "BYTE_ARRAY", pa.binary())
+    assert enc == b"\x02\x00\x00\x00ab" + b"\x00\x00\x00\x00" + b"\x03\x00\x00\x00xyz"
+
+
+def test_plain_shrinking_byte_arrays():
+    # F3: row i = 512-char sentinel truncated to 512-i (ref :159-190)
+    vals = [("x" * 512)[: 512 - i] for i in range(500)]
+    arr = pa.array(vals, type=pa.string())
+    enc = encode_plain(arr, "BYTE_ARRAY")
+    # per-record sizes 516-i
+    assert len(enc) == sum(516 - i for i in range(500))
+    out = decode_plain(enc, 500, "BYTE_ARRAY", pa.string())
+    assert out.to_pylist() == vals
+
+
+def test_for_roundtrip():
+    v = np.array([1000000, 1000007, 999999, 1000100], dtype=np.int64)
+    enc = encode_for(v)
+    np.testing.assert_array_equal(decode_for(enc, 4), v)
+    assert len(enc) < 4 * 8  # beats PLAIN INT64
+
+
+def test_for_constant():
+    v = np.full(10000, -42, dtype=np.int64)
+    enc = encode_for(v)
+    assert len(enc) == 9  # min + width byte, zero-width payload
+    np.testing.assert_array_equal(decode_for(enc, 10000), v)
+
+
+def test_for_negative_range():
+    v = np.array([-(2**62), 2**62], dtype=np.int64)
+    enc = encode_for(v)
+    np.testing.assert_array_equal(decode_for(enc, 2), v)
+
+
+def test_dict_strings():
+    vals = ["python", "go", "rust", "python", "python", "go"] * 100
+    arr = pa.array(vals, type=pa.string())
+    enc = encode_dict(arr, "BYTE_ARRAY")
+    out = decode_dict(enc, len(vals), "BYTE_ARRAY", pa.string())
+    assert out.to_pylist() == vals
+    assert len(enc) < plain_size(arr, "BYTE_ARRAY") / 5
+
+
+def test_dict_ints():
+    vals = [7, 7, 9, 7, 9, 11] * 50
+    arr = pa.array(vals, type=pa.int64())
+    enc = encode_dict(arr, "INT64")
+    assert decode_dict(enc, len(vals), "INT64", pa.int64()).to_pylist() == vals
+
+
+def test_rle_runs_strings():
+    vals = ["a"] * 1000 + ["bb"] * 500 + ["a"] * 10
+    arr = pa.array(vals, type=pa.string())
+    enc = encode_rle_runs(arr, "BYTE_ARRAY")
+    out = decode_rle_runs(enc, len(vals), "BYTE_ARRAY", pa.string())
+    assert out.to_pylist() == vals
+    assert len(enc) < 100
+
+
+def test_rle_runs_doubles():
+    vals = [1.5] * 100 + [2.5] * 100
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_rle_runs(arr, "DOUBLE")
+    assert decode_rle_runs(enc, 200, "DOUBLE", pa.float64()).to_pylist() == vals
+
+
+def fsst_rt(vals, arrow_type=None):
+    arrow_type = arrow_type or pa.string()
+    arr = pa.array(vals, type=arrow_type)
+    enc = encode_fsst(arr)
+    out = decode_fsst(enc, len(vals), arrow_type)
+    assert out.to_pylist() == vals
+    return enc, arr
+
+
+def test_fsst_repetitive_source():
+    vals = [
+        f"def func_{i}(self, arg):\n    return self.value + {i}\n" * 4
+        for i in range(500)
+    ]
+    enc, arr = fsst_rt(vals)
+    assert len(enc) < plain_size(arr, "BYTE_ARRAY") / 2  # >=2x on source-like text
+
+
+def test_fsst_edge_cases():
+    fsst_rt([])
+    fsst_rt([""])
+    fsst_rt(["", "", ""])
+    fsst_rt(["a"])
+    fsst_rt([b"\xff\xfe\x00 data \xff\xff", b"", b"\xff" * 20], pa.binary())
+    fsst_rt(["x" * 10000, "y"])
+
+
+def test_fsst_escape_byte_255():
+    # byte 0xff must survive escaping (marker == 0xff)
+    vals = [bytes([255, 255, 65, 255]), bytes([255]), b"AAAA" * 50]
+    fsst_rt(vals, pa.binary())
+
+
+def test_fsst_real_documents():
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    vals = t.column("text").combine_chunks().to_pylist()
+    arr = pa.array(vals, type=pa.string())
+    enc = encode_fsst(arr)
+    out = decode_fsst(enc, len(vals), pa.string())
+    assert out.to_pylist() == vals
+    assert len(enc) < plain_size(arr, "BYTE_ARRAY")
+
+
+@given(st.lists(st.binary(max_size=40), max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_fsst_property(vals):
+    fsst_rt(vals, pa.binary())
+
+
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_for_property(vals):
+    v = np.array(vals, dtype=np.int64)
+    np.testing.assert_array_equal(decode_for(encode_for(v), len(v)), v)
+
+
+@given(st.lists(st.sampled_from(["aa", "bb", "cc", ""]), max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_dict_rle_property(vals):
+    arr = pa.array(vals, type=pa.string())
+    for enc_f, dec_f in [
+        (encode_dict, decode_dict),
+        (encode_rle_runs, decode_rle_runs),
+    ]:
+        enc = enc_f(arr, "BYTE_ARRAY")
+        out = dec_f(enc, len(vals), "BYTE_ARRAY", pa.string())
+        assert out.to_pylist() == vals
