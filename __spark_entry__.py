@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: cpp_parquet_spark — a from-scratch PySpark-native columnar
+lightweight-compression engine (see SURVEY.md).  The flagship path is
+encode_pipeline: repartition by (lang, repo, salt) → vectorized Arrow
+shred+encode (dict/rle/fsst/for/plain with auto-selection) → chunk
+metadata table; decode_dataframe is the exact inverse and every
+`roundtrip_*` query returns data that has physically passed through
+the codecs.
 """
 
 from __future__ import annotations
@@ -12,27 +14,363 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _roundtrip(df: DataFrame) -> DataFrame:
+    """encode → decode through the engine (the data really round-trips)."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    return decode_dataframe(encode_dataframe(df, codec="auto"), df.schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode the F1 source-repo table at sf0.001 through the
+    full pipeline (salted repartition + auto codecs) and return the
+    per-column compression report."""
+    from cpp_parquet_spark.datagen import source_repos_from_documents
+    from cpp_parquet_spark.engine import encode_pipeline, size_report
+
+    src = source_repos_from_documents(spark, "/root/testdata/sf0.001")
+    chunks = encode_pipeline(src, num_partitions=4)
+    return size_report(chunks)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_roundtrip_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant: per-row sha256(content) equality after the
+    encode→decode round trip (BASELINE.json:16)."""
+    from cpp_parquet_spark.datagen import source_repos_from_documents
+
+    decoded = _roundtrip(source_repos_from_documents(spark, sf_dir))
+    return decoded.select(
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit").alias("commit_hash"),
+        F.col("lang"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.length(F.col("content")).cast("long").alias("n_chars"),
+    )
+
+
+def _q_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation computed on *decoded* lineitem — proves
+    numeric/timestamp fidelity through the codecs."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = _roundtrip(df)
+    return (
+        dec.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-column (array<float>) round trip through the level
+    encoder + codecs; returns exact element values (no arithmetic)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dec = _roundtrip(df)
+    return dec.select(
+        F.col("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.size("embedding").cast("long").alias("emb_len"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
+    )
+
+
+def _q_roundtrip_orders_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-level path on a table with injected nulls."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = df.columns
+    with_nulls = df.select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_totalprice")).alias("price_opt"),
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderpriority")).alias("prio_opt"),
+    )
+    dec = _roundtrip(with_nulls)
+    return dec.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.count("price_opt").alias("n_price"),
+        F.count("prio_opt").alias("n_prio"),
+        F.round(F.sum("price_opt"), 2).alias("sum_price"),
+        F.countDistinct("prio_opt").cast("long").alias("n_prio_distinct"),
+    )
+
+
+def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column codec choice + compression on the F1 table (engine
+    metadata — no SQL oracle; driver records a rows-only check)."""
+    from cpp_parquet_spark.datagen import source_repos_from_documents
+    from cpp_parquet_spark.engine import encode_pipeline, size_report
+
+    src = source_repos_from_documents(spark, sf_dir)
+    return size_report(encode_pipeline(src, num_partitions=8))
+
+
+# ------------------------------------------- training-data pipeline ops
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs)
+
+
+def _q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return quality_features(docs).drop("text")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant duplicates deterministically so the operator has work to do
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return exact_duplicates(docs.unionByName(dup))
+
+
+def _q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.dedup import token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return token_jaccard_pairs(docs, threshold=0.8)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return minhash_lsh_pairs(docs.unionByName(dup), threshold=0.9)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return simhash_pairs(docs.unionByName(dup), max_hamming=3)
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, k=5)
+
+
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus planted copies (vec_id+10^6) so near-dup queries
+    have non-vacuous ground truth; oracle SQL plants identically."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return emb.unionByName(copies)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.similarity import embedding_near_dup_exact
+
+    return embedding_near_dup_exact(_emb_with_planted(spark, sf_dir), threshold=0.9)
+
+
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(_emb_with_planted(spark, sf_dir), threshold=0.9)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cpp_parquet_spark.pipeline.multimodal import extract_features, synthetic_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthetic_media(docs)
+    feats = extract_features(media, mode="fake")
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 4).alias("f1"),
+        F.round(F.element_at("features", 8), 4).alias("f8"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # encoder engine (SURVEY.md §2 operators, end-to-end)
+        "roundtrip_content": _q_roundtrip_content,
+        "roundtrip_lineitem_agg": _q_roundtrip_lineitem_agg,
+        "roundtrip_embeddings": _q_roundtrip_embeddings,
+        "roundtrip_orders_nulls": _q_roundtrip_orders_nulls,
+        "codec_selection": _q_codec_selection,
+        # training-data pipeline ops
+        "text_stats": _q_text_stats,
+        "quality_features": _q_quality_features,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_token_jaccard": _q_dedup_token_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "similarity_topk": _q_similarity_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_content": """
+            SELECT source AS repo,
+                   concat('doc/', doc_id, '.txt') AS path,
+                   substr(sha256(cast(doc_id AS varchar)), 1, 40) AS commit_hash,
+                   lang,
+                   sha256(text) AS content_sha,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "roundtrip_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "roundtrip_embeddings": """
+            SELECT vec_id,
+                   label,
+                   len(embedding) AS emb_len,
+                   CAST(embedding[1] AS DOUBLE) AS first_val,
+                   CAST(embedding[-1] AS DOUBLE) AS last_val
+            FROM embeddings
+        """,
+        "roundtrip_orders_nulls": """
+            SELECT count(*) AS n_rows,
+                   count(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) AS n_price,
+                   count(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio,
+                   round(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END), 2) AS sum_price,
+                   count(DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio_distinct
+            FROM orders
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+                   CASE
+                     WHEN regexp_matches(text, '#include\\s*<') THEN 'cpp'
+                     WHEN regexp_matches(text, '\\bpackage main\\b') OR regexp_matches(text, '\\bfunc \\w+\\(') THEN 'go'
+                     WHEN regexp_matches(text, '\\bfn \\w+\\(') OR regexp_matches(text, '\\blet mut\\b') THEN 'rust'
+                     WHEN regexp_matches(text, '\\bpublic (class|static)\\b') THEN 'java'
+                     WHEN regexp_matches(text, '\\bdef \\w+\\(') OR regexp_matches(text, '\\bimport \\w+\\s') THEN 'python'
+                     WHEN regexp_matches(text, '\\bfunction\\b') OR regexp_matches(text, '\\bconst \\w+ =') THEN 'javascript'
+                     WHEN regexp_matches(text, '^#!/bin/(ba)?sh') THEN 'shell'
+                     ELSE 'unknown'
+                   END AS lang_guess
+            FROM documents
+        """,
+        "quality_features": """
+            WITH toks AS (
+              SELECT doc_id,
+                     text,
+                     regexp_extract_all(text, '[A-Za-z0-9_]+') AS tok
+              FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS q_chars,
+                   len(tok) AS q_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS q_alnum_ratio,
+                   round(length(text) / greatest(len(tok), 1), 4) AS q_avg_token_len,
+                   round(len(list_filter(tok, t -> list_contains(
+                         ['the','a','of','to','and','in','is','for','on','it'], lower(t))))
+                         / greatest(len(tok), 1), 4) AS q_stopword_ratio
+            FROM toks
+        """,
+        "dedup_exact": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT sha256(text) AS content_sha,
+                   count(*) AS n_dups,
+                   min(doc_id) AS keeper_id
+            FROM all_docs
+            GROUP BY sha256(text)
+            HAVING count(*) > 1
+        """,
+        "dedup_token_jaccard": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+              FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(len(list_intersect(a.tok, b.tok))
+                           / greatest(len(list_distinct(a.tok || b.tok)), 1), 4) AS jaccard
+              FROM t a JOIN t b ON a.id < b.id
+            ) WHERE jaccard >= 0.8
+        """,
+        "similarity_topk": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS iv
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, iv AS qv FROM v WHERE vec_id % 50 = 0),
+            s AS (
+              SELECT q.qid, c.vec_id AS cid,
+                     CAST(list_dot_product(q.qv, c.iv) AS DOUBLE)
+                     / (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(c.iv, c.iv) AS DOUBLE))) AS cos
+              FROM q JOIN v c ON q.qid != c.vec_id
+            )
+            SELECT qid, cid, cosine, rank FROM (
+              SELECT qid, cid, round(cos, 6) AS cosine,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
+              FROM s
+            ) WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            WITH all_emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS iv
+              FROM all_emb
+            )
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(CAST(list_dot_product(a.iv, b.iv) AS DOUBLE)
+                           / (sqrt(CAST(list_dot_product(a.iv, a.iv) AS DOUBLE))
+                              * sqrt(CAST(list_dot_product(b.iv, b.iv) AS DOUBLE))), 6) AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.9
+        """,
+    }

@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""Benchmark harness for cpp_parquet_spark.
+
+Headline: encode throughput (GB/s of PLAIN-equivalent input) of the
+flagship pipeline (salted repartition by (lang, repo) → auto-codec
+Arrow encode) on the deterministic F1 source-repo table, plus decode
+throughput and the driver-visible roundtrip queries.
+
+Scaling protocol (BASELINE.md): the same encode job runs at local[N]
+and local[4N] (N=8) on identical input; efficiency = (T_N / T_4N) / 4,
+target >= 0.8.  This is the sandbox stand-in for the north rule's
+N -> 4N executor criterion.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "throughput": {...}, "compression": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "8"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "150000"))
+WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/cpp_parquet_spark_bench")
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    from cpp_parquet_spark.session import MALLOC_ENV, apply_malloc_env
+
+    apply_malloc_env()
+    builder = SparkSession.builder
+    for k, v in MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    s = (
+        builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def prepare_input(spark, path: str) -> None:
+    """Deterministic bench input: driver documents recast to the F1
+    schema + synthetic expansion (seed-free, id-hash based)."""
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.datagen import (
+        source_repos_from_documents,
+        synthetic_source_repos,
+    )
+
+    docs = source_repos_from_documents(spark, SF_DIR)
+    synth = synthetic_source_repos(spark, BENCH_ROWS, parts=CPUS)
+    df = docs.unionByName(synth)
+    df.write.mode("overwrite").parquet(path)
+
+
+def run_encode(spark, input_path: str, chunks_out: str | None = None):
+    """Returns (seconds, totals dict). Timing covers read→shuffle→encode→agg."""
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.engine import encode_pipeline
+
+    df = spark.read.parquet(input_path)
+    t0 = time.time()
+    chunks = encode_pipeline(df, codec="auto", num_partitions=spark.sparkContext.defaultParallelism * 2)
+    if chunks_out:
+        chunks.write.mode("overwrite").parquet(chunks_out)
+        totals_df = spark.read.parquet(chunks_out)
+    else:
+        totals_df = chunks
+    totals = (
+        totals_df.groupBy()
+        .agg(
+            F.sum("plain_bytes").alias("plain"),
+            F.sum("encoded_bytes").alias("encoded"),
+            F.sum(F.when(F.col("column") == "repo", F.col("num_rows")).otherwise(0)).alias("rows"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.time() - t0
+    return elapsed, {
+        "rows": int(totals["rows"]),
+        "plain_bytes": int(totals["plain"]),
+        "encoded_bytes": int(totals["encoded"]),
+    }
+
+
+def run_decode(spark, chunks_path: str) -> float:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from cpp_parquet_spark.datagen import INPUT_COLUMNS
+    from cpp_parquet_spark.engine import decode_dataframe
+
+    schema = spark.read.parquet(f"{WORK}/input.parquet").schema
+    chunks = spark.read.parquet(chunks_path)
+    t0 = time.time()
+    decoded = decode_dataframe(chunks, schema)
+    decoded.groupBy().agg(F.count("*"), F.sum(F.length("content"))).collect()
+    return time.time() - t0
+
+
+def main() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    input_path = f"{WORK}/input.parquet"
+    chunks_path = f"{WORK}/chunks.parquet"
+    queries: dict[str, float] = {}
+
+    # ---- main session at the driver-specified core count
+    spark = make_session(CPUS)
+    prepare_input(spark, input_path)
+
+    t_encode, totals = run_encode(spark, input_path, chunks_out=chunks_path)
+    queries["encode_pipeline"] = round(t_encode, 3)
+    t_decode = run_decode(spark, chunks_path)
+    queries["decode_pipeline"] = round(t_decode, 3)
+
+    # driver-visible roundtrip queries (sf-dir inputs)
+    import __spark_entry__ as entrymod
+
+    for name in ("roundtrip_content", "roundtrip_lineitem_agg"):
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # ---- scaling: identical encode job at N and 4N cores
+    scaling = {}
+    if CPUS >= SCALE_N * 4:
+        times = {}
+        for cores in (SCALE_N, SCALE_N * 4):
+            s = make_session(cores)
+            t, _ = run_encode(s, input_path)
+            times[cores] = t
+            s.stop()
+        eff = (times[SCALE_N] / times[SCALE_N * 4]) / 4
+        scaling = {
+            "cores_n": SCALE_N,
+            "cores_4n": SCALE_N * 4,
+            "t_n_sec": round(times[SCALE_N], 3),
+            "t_4n_sec": round(times[SCALE_N * 4], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    gb = totals["plain_bytes"] / 1e9
+    result = {
+        "metric": "encode_pipeline_seconds",
+        "value": queries["encode_pipeline"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "throughput": {
+            "input_gb_plain": round(gb, 3),
+            "encode_gbps": round(gb / t_encode, 3),
+            "decode_gbps": round(gb / t_decode, 3) if t_decode else None,
+            "rows": totals["rows"],
+        },
+        "compression": {
+            "plain_bytes": totals["plain_bytes"],
+            "encoded_bytes": totals["encoded_bytes"],
+            "ratio": round(totals["plain_bytes"] / max(totals["encoded_bytes"], 1), 3),
+            "bytes_per_row": round(totals["encoded_bytes"] / max(totals["rows"], 1), 2),
+        },
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

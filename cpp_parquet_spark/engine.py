@@ -1,0 +1,339 @@
+"""The Spark-side engine: distributed encode/decode pipelines.
+
+This is the Spark equivalent of the reference's writer lifecycle
+(SURVEY.md §3): where cpp-parquet buffers whole columns in one process
+and flushes once (parquet-file.cc:118-177), this engine expresses the
+same ingest → shred → encode → serialize dataflow as
+
+    df.repartition(N, lang, repo, salt)          # explicit shuffle
+      .mapInArrow(encode_batches, CHUNK_SCHEMA)  # vectorized encoders
+
+with every per-value operation inside numpy/Arrow kernels — no per-row
+Python (input_hint).  Decoding is the inverse mapInArrow over chunk
+rows grouped per (part_id, chunk_id).
+
+Scale notes (designed for ~100 TB / 1000 executors, tested local[32]):
+* the only full-data shuffle is the explicit repartition; its key set
+  (lang, repo, salt) is what makes rle/dict win on lang/repo columns
+  downstream, so the shuffle buys compression;
+* skewed repos are salted: a cheap combine-side (lang, repo) count
+  finds keys above the target partition size and splits them;
+* chunk rows are bounded (``chunk_rows``) so executor memory per task
+  is bounded regardless of input size;
+* chunk metadata (one row per column chunk) is ~6 rows per 64k input
+  rows — the metadata table is ~1e5 smaller than the data, safe to
+  aggregate/collect.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cpp_parquet_spark.schema_plan import ColumnPlan, plan_from_schema
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("chunk_id", LongType(), False),
+        StructField("column", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("physical", StringType(), False),
+        StructField("num_rows", LongType(), False),
+        StructField("num_entries", LongType(), False),
+        StructField("num_values", LongType(), False),
+        StructField("plain_bytes", LongType(), False),
+        StructField("encoded_bytes", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+_CHUNK_ARROW = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("chunk_id", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("physical", pa.string()),
+        ("num_rows", pa.int64()),
+        ("num_entries", pa.int64()),
+        ("num_values", pa.int64()),
+        ("plain_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+DEFAULT_CHUNK_ROWS = 1 << 16
+
+
+def _arrow_schema_for(df: DataFrame) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+def _encode_table(
+    table: pa.Table, plans: list[ColumnPlan], codec_mode: str, part_id: int, chunk_id: int
+) -> pa.RecordBatch:
+    from cpp_parquet_spark.chunk import serialize_chunk
+    from cpp_parquet_spark.kernels.levels import shred
+    from cpp_parquet_spark.selector import select_codec
+
+    rows: list[tuple] = []
+    n_rows = table.num_rows
+    for plan in plans:
+        col = table.column(plan.path[0])
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        sh = shred(arr, plan)
+        codec = select_codec(sh.values, plan.physical, mode=codec_mode)
+        blob, meta = serialize_chunk(sh, codec)
+        rows.append(
+            (
+                part_id,
+                chunk_id,
+                plan.dotted,
+                codec,
+                plan.physical,
+                n_rows,
+                meta.num_entries,
+                meta.num_values,
+                meta.plain_bytes,
+                meta.encoded_bytes,
+                blob,
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, _CHUNK_ARROW)], schema=_CHUNK_ARROW
+    )
+
+
+def encode_dataframe(
+    df: DataFrame,
+    codec: str = "auto",
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Encode every column of ``df`` into compressed column chunks.
+
+    Returns the chunk-metadata DataFrame (CHUNK_SCHEMA): one row per
+    (partition, chunk, column) carrying the serialized chunk payload.
+
+    With ``part_col`` set, that integer column is a *deterministic*
+    partition key (a content hash, not a task id): chunks are split at
+    its boundaries and ``part_id`` takes its value, which is what makes
+    checkpoint/resume (lineage.EncodeJob) able to re-derive and skip
+    completed partitions.  The caller must have repartitioned and
+    sorted by it.  Without it, ``part_id`` is the Spark partition id.
+    """
+    data_fields = [f for f in _arrow_schema_for(df) if f.name != part_col]
+    plans = plan_from_schema(pa.schema(data_fields))
+
+    def encode_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task_part = ctx.partitionId() if ctx is not None else 0
+
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+        chunk_id = 0
+        cur_part = task_part
+
+        def flush() -> pa.RecordBatch:
+            nonlocal pending, pending_rows, chunk_id
+            tbl = pa.Table.from_batches(pending)
+            out = _encode_table(tbl, plans, codec, cur_part, chunk_id)
+            chunk_id += 1
+            pending, pending_rows = [], 0
+            return out
+
+        for b in batches:
+            if part_col is None:
+                pending.append(b)
+                pending_rows += b.num_rows
+                if pending_rows >= chunk_rows:
+                    yield flush()
+                continue
+            parts = np.asarray(b.column(part_col))
+            data = b.select([f.name for f in data_fields])
+            # split the batch at part boundaries (sorted within partition)
+            bounds = np.flatnonzero(np.diff(parts)) + 1
+            pieces = np.split(np.arange(len(parts)), bounds)
+            for piece in pieces:
+                if not len(piece):
+                    continue
+                pval = int(parts[piece[0]])
+                if pending_rows and pval != cur_part:
+                    yield flush()
+                    chunk_id = 0
+                cur_part = pval
+                pending.append(data.slice(int(piece[0]), len(piece)))
+                pending_rows += len(piece)
+                if pending_rows >= chunk_rows:
+                    yield flush()
+        if pending_rows:
+            yield flush()
+
+    return df.mapInArrow(encode_batches, CHUNK_SCHEMA)
+
+
+def _merge_columns(field: pa.Field, cols: list[pa.Array]) -> pa.Array:
+    """Merge per-leaf rebuilt columns into one (multi-leaf structs)."""
+    import pyarrow.compute as pc
+
+    if len(cols) == 1:
+        return cols[0]
+    t = field.type
+    if not pa.types.is_struct(t):
+        raise NotImplementedError(
+            f"multi-leaf reassembly under non-struct type {t} (e.g. list-of-struct "
+            f"with several leaves) is not supported yet"
+        )
+    by_child: dict[str, list[pa.Array]] = {}
+    for c in cols:
+        name = c.type.field(0).name
+        by_child.setdefault(name, []).append(c.field(0) if hasattr(c, "field") else c)
+    children = []
+    for child_field in t:
+        sub = by_child[child_field.name]
+        children.append(_merge_columns(child_field, sub))
+    mask = pc.invert(cols[0].is_valid()) if field.nullable else None
+    return pa.StructArray.from_arrays(children, fields=list(t), mask=mask)
+
+
+def decode_dataframe(chunks: DataFrame, schema: StructType) -> DataFrame:
+    """Inverse of :func:`encode_dataframe`: chunk rows → original table."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    plans = plan_from_schema(arrow_schema)
+
+    grouped = chunks.repartition("part_id", "chunk_id").sortWithinPartitions("part_id", "chunk_id")
+
+    def decode_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from cpp_parquet_spark.chunk import decode_chunk_to_column
+
+        current: tuple | None = None
+        payloads: dict[str, bytes] = {}
+
+        def flush() -> pa.RecordBatch:
+            arrays = []
+            for f in arrow_schema:
+                leaf_cols = [
+                    decode_chunk_to_column(payloads[p.dotted], p)
+                    for p in plans
+                    if p.path[0] == f.name
+                ]
+                arrays.append(_merge_columns(f, leaf_cols))
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        for b in batches:
+            part_ids = b.column("part_id")
+            chunk_ids = b.column("chunk_id")
+            names = b.column("column")
+            pay = b.column("payload")
+            for i in range(b.num_rows):
+                key = (part_ids[i].as_py(), chunk_ids[i].as_py())
+                if current is not None and key != current and payloads:
+                    yield flush()
+                    payloads = {}
+                current = key
+                payloads[names[i].as_py()] = pay[i].as_py()
+        if payloads:
+            yield flush()
+
+    return grouped.mapInArrow(decode_batches, schema)
+
+
+def partition_for_encoding(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("lang", "repo"),
+    num_partitions: int | None = None,
+    target_rows: int = 1 << 20,
+    salt: bool = True,
+) -> DataFrame:
+    """Explicit repartition by the encoding keys, salting skewed keys.
+
+    The (lang, repo) clustering is what makes the rle/dict codecs win on
+    those columns; ``salt`` splits any key owning more than
+    ``target_rows`` rows (north-rule skew handling) using a cheap
+    map-side-combined count that only collects the skewed keys.
+    """
+    spark = df.sparkSession
+    num = num_partitions or spark.sparkContext.defaultParallelism * 2
+    key_cols = [F.col(k) for k in keys]
+    salt_col = F.lit(0)
+    if salt:
+        skewed = (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > target_rows)
+            .collect()
+        )
+        if skewed:
+            mapping = F.create_map(
+                *[
+                    x
+                    for row in skewed
+                    for x in (
+                        F.concat_ws("\x1f", *[F.lit(str(row[k])) for k in keys]),
+                        F.lit(-(-row["count"] // target_rows)),
+                    )
+                ]
+            )
+            salt_n = F.coalesce(
+                mapping[F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])],
+                F.lit(1),
+            )
+            others = [c for c in df.columns if c not in keys]
+            salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in others] or [F.lit(0)]), salt_n)
+    return df.repartition(num, *key_cols, salt_col)
+
+
+def encode_pipeline(
+    df: DataFrame,
+    codec: str = "auto",
+    keys: tuple[str, ...] = ("lang", "repo"),
+    num_partitions: int | None = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    salt: bool = True,
+) -> DataFrame:
+    """repartition-by-(lang, repo, salt) → encode: the flagship path."""
+    return encode_dataframe(
+        partition_for_encoding(df, keys=keys, num_partitions=num_partitions, salt=salt, target_rows=max(chunk_rows * 4, 1 << 18)),
+        codec=codec,
+        chunk_rows=chunk_rows,
+    )
+
+
+def size_report(chunks: DataFrame) -> DataFrame:
+    """Per-(column, codec) compression summary of a chunk table."""
+    return (
+        chunks.groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("num_rows").alias("rows"),
+            F.sum("plain_bytes").alias("plain_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(F.col("plain_bytes") / F.greatest(F.col("encoded_bytes"), F.lit(1)), 3),
+        )
+        .orderBy("column", "codec")
+    )

@@ -8,17 +8,22 @@ per-string decompression.
 
 The classic FSST encoder is a sequential longest-match loop — hostile
 to numpy.  This implementation reaches the same format family through
-round-based pair merging (Re-Pair/BPE style): training picks the K most
-frequent adjacent token pairs per round (bounded to 8-byte symbols),
-and encoding replays the same merge rounds over the whole chunk with
-vectorized simultaneous replacement.  Overlapping matches are resolved
-exactly as a greedy left-to-right scan would by a parity rule inside
-maximal runs of consecutive matches (valid[i] = match[i] & ~valid[i-1]
-collapses to "even offset within run").
+round-based pair merging (Re-Pair/BPE style): training picks the most
+frequent adjacent token pairs per round (bounded to 8-byte symbols) on
+a sample, and encoding replays the same merge rounds over the whole
+chunk with vectorized simultaneous replacement.  Overlapping matches
+are resolved exactly as a greedy left-to-right scan would by a parity
+rule inside maximal chains of consecutive matches (valid[i] = match[i]
+& ~valid[i-1] collapses to "even offset within chain"), computed only
+over the match positions.
 
-Everything — training, encoding, decoding — is numpy array passes; no
-per-string or per-byte Python.  Strings never share symbols across
-boundaries (a -1 sentinel token separates them).
+Memory discipline matters on this box (first-touch page faults are
+expensive): tokens are int16, all position arithmetic is int32, the
+sentinel between strings is token 511 so pair keys need no masking
+(sentinel pairs can never equal a chosen key — chosen pairs only
+contain tokens <= 510), and the merged-symbol budget adapts so every
+byte value seen in the sample keeps a single-byte code (escapes are
+the ratio killer).
 
 Chunk layout:
   u8 n_codes | u8 sym_len[n_codes] | symbol blob |
@@ -36,107 +41,139 @@ from cpp_parquet_spark.kernels.plain import _byte_components
 
 _ESCAPE = 255
 _MAX_CODES = 255
-_MAX_MERGED = 224  # leave >= 31 codes for frequent single bytes
 _MAX_SYMBOL_LEN = 8
-_ROUNDS = 10
-_PAIRS_PER_ROUND = 32
+_ROUNDS = 8
 _SAMPLE_TOKENS = 1 << 17
-_KEY_BASE = 512  # tokens are < 512 (256 base + <=255 merged)
+_KEY_BASE = 512
+_SENTINEL = 511  # separates strings; never part of any chosen pair
 
 
 def _tokens_from_values(values: pa.Array) -> tuple[np.ndarray, int]:
-    """Byte tokens with -1 sentinels between strings; returns (toks, n)."""
+    """Byte tokens with sentinel 511 between strings; returns (toks, n)."""
     lengths, payload = _byte_components(values)
     n = len(lengths)
     data_len = int(lengths.sum())
     total = data_len + max(n - 1, 0)
-    toks = np.full(total, -1, dtype=np.int16)
+    toks = np.full(total, _SENTINEL, dtype=np.int16)
     if data_len:
-        cum = np.cumsum(lengths) - lengths
-        starts = cum + np.arange(n, dtype=np.int64)  # +1 sentinel per earlier string
-        tgt = np.repeat(starts, lengths) + (
-            np.arange(data_len, dtype=np.int64) - np.repeat(cum, lengths)
+        lengths32 = lengths.astype(np.int32)
+        cum = np.cumsum(lengths32, dtype=np.int32) - lengths32
+        starts = cum + np.arange(n, dtype=np.int32)
+        tgt = np.repeat(starts, lengths32) + (
+            np.arange(data_len, dtype=np.int32) - np.repeat(cum, lengths32)
         )
         toks[tgt] = payload.astype(np.int16)
     return toks, n
 
 
-def _replace_pairs(toks: np.ndarray, keys_sorted: np.ndarray, new_ids: np.ndarray) -> np.ndarray:
-    """Simultaneously replace every greedy-left-to-right occurrence of the
-    given pairs (keys = left*_KEY_BASE + right) with their new token."""
-    if len(toks) < 2 or len(keys_sorted) == 0:
+def _sample_tokens(toks: np.ndarray, target: int = _SAMPLE_TOKENS) -> np.ndarray:
+    """Representative training sample: 64 strided blocks across the
+    chunk (a prefix sample trains symbols for the head only and the
+    rest of the chunk escapes — ratio collapse on mixed chunks)."""
+    if len(toks) <= target:
+        return toks.copy()
+    nblocks = 64
+    block = target // nblocks
+    step = (len(toks) - block) // nblocks
+    idx = (np.arange(nblocks, dtype=np.int64)[:, None] * step + np.arange(block, dtype=np.int64)).ravel()
+    return toks[idx]
+
+
+def _pair_lut(keys: np.ndarray, new_ids: np.ndarray) -> np.ndarray:
+    """Dense pair-key → new-token lookup table (512*512 int16, fits L2)."""
+    lut = np.full(_KEY_BASE * _KEY_BASE, -1, dtype=np.int16)
+    lut[keys] = new_ids.astype(np.int16)
+    return lut
+
+
+def _replace_pairs(toks: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Simultaneously replace every greedy-left-to-right occurrence of
+    the LUT's pairs (key = left*512 + right) with their new token."""
+    if len(toks) < 2:
         return toks
-    left = toks[:-1].astype(np.int32)
-    right = toks[1:].astype(np.int32)
-    pairkey = left * _KEY_BASE + right
-    pos = np.searchsorted(keys_sorted, pairkey)
-    pos_c = np.minimum(pos, len(keys_sorted) - 1)
-    match = (keys_sorted[pos_c] == pairkey) & (left >= 0) & (right >= 0)
-    if not match.any():
+    key = toks[:-1].astype(np.int32)
+    key *= _KEY_BASE
+    key += toks[1:]
+    hit = lut[key]
+    mpos = np.flatnonzero(hit >= 0).astype(np.int32)
+    if not len(mpos):
         return toks
-    # greedy overlap resolution: within each maximal run of consecutive
-    # matches, only even offsets are applied
-    idx = np.arange(len(match), dtype=np.int64)
-    run_start = match & ~np.concatenate(([False], match[:-1]))
-    last_start = np.maximum.accumulate(np.where(run_start, idx, -1))
-    valid = match & (((idx - last_start) & 1) == 0)
-    out = toks.copy()
-    vpos = np.flatnonzero(valid)
-    out[vpos] = new_ids[pos_c[vpos]].astype(np.int16)
+    # greedy overlap resolution on match positions only: within each
+    # chain of consecutive positions, keep even offsets
+    k = len(mpos)
+    ridx = np.arange(k, dtype=np.int32)
+    chain_start = np.empty(k, dtype=bool)
+    chain_start[0] = True
+    np.greater(mpos[1:] - mpos[:-1], 1, out=chain_start[1:])
+    last_start = np.maximum.accumulate(np.where(chain_start, ridx, 0))
+    valid = ((ridx - last_start) & 1) == 0
+    vpos = mpos[valid]
+    toks[vpos] = hit[vpos]
     keep = np.ones(len(toks), dtype=bool)
     keep[vpos + 1] = False
-    return out[keep]
+    return toks[keep]
 
 
 def _train(sample: np.ndarray) -> tuple[list[tuple[np.ndarray, np.ndarray]], list[bytes]]:
     """Learn merge rounds on a token sample.
 
-    Returns (rounds, symbols) where symbols[i] is the byte expansion of
-    token 256+i and each round is (sorted pair keys, new token ids).
+    Returns (rounds, symbols): symbols[i] is the byte expansion of
+    token 256+i; each round is (sorted pair keys, new token ids).
+    The merged budget leaves a code for every byte value in the sample.
     """
     sym_bytes: list[bytes] = [bytes([i]) for i in range(256)]
     sym_len = np.ones(_KEY_BASE, dtype=np.int32)
     rounds: list[tuple[np.ndarray, np.ndarray]] = []
     toks = sample
+    n_distinct = int(np.unique(toks[toks < 256]).size) if len(toks) else 0
+    budget = min(_MAX_CODES - n_distinct, 254)  # merged ids 256..510
     n_merged = 0
     min_count = max(4, len(sample) // 16384)
+    per_round = max(16, -(-budget // 4))
     for _ in range(_ROUNDS):
-        if n_merged >= _MAX_MERGED or len(toks) < 2:
+        if n_merged >= budget or len(toks) < 2:
             break
-        left = toks[:-1].astype(np.int32)
-        right = toks[1:].astype(np.int32)
-        ok = (left >= 0) & (right >= 0)
-        keys = left[ok] * _KEY_BASE + right[ok]
-        uniq, counts = np.unique(keys, return_counts=True)
-        fits = (sym_len[uniq // _KEY_BASE] + sym_len[uniq % _KEY_BASE]) <= _MAX_SYMBOL_LEN
-        uniq, counts = uniq[fits], counts[fits]
-        good = counts >= min_count
-        uniq, counts = uniq[good], counts[good]
+        key = toks[:-1].astype(np.int32)
+        key *= _KEY_BASE
+        key += toks[1:]
+        uniq, counts = np.unique(key, return_counts=True)
+        ok = (uniq // _KEY_BASE != _SENTINEL) & (uniq % _KEY_BASE != _SENTINEL)
+        ok &= (sym_len[uniq // _KEY_BASE] + sym_len[uniq % _KEY_BASE]) <= _MAX_SYMBOL_LEN
+        ok &= counts >= min_count
+        uniq, counts = uniq[ok], counts[ok]
         if len(uniq) == 0:
             break
-        take = np.argsort(-counts, kind="stable")[: min(_PAIRS_PER_ROUND, _MAX_MERGED - n_merged)]
+        # rank by bytes saved: each occurrence saves one token's worth;
+        # weight by expanded length to prefer long symbols
+        gain = counts * (sym_len[uniq // _KEY_BASE] + sym_len[uniq % _KEY_BASE] - 1)
+        take = np.argsort(-gain, kind="stable")[: min(per_round, budget - n_merged)]
         chosen = np.sort(uniq[take])
         ids = np.arange(len(chosen), dtype=np.int32) + 256 + n_merged
-        for k, tid in zip(chosen.tolist(), ids.tolist()):
-            sym = sym_bytes[k // _KEY_BASE] + sym_bytes[k % _KEY_BASE]
+        for kk, tid in zip(chosen.tolist(), ids.tolist()):
+            sym = sym_bytes[kk // _KEY_BASE] + sym_bytes[kk % _KEY_BASE]
             sym_bytes.append(sym)
             sym_len[tid] = len(sym)
         rounds.append((chosen, ids))
-        toks = _replace_pairs(toks, chosen, ids)
+        toks = _replace_pairs(toks, _pair_lut(chosen, ids))
         n_merged += len(chosen)
     return rounds, sym_bytes[256:]
 
 
 def encode_fsst(values: pa.Array) -> bytes:
     toks, n = _tokens_from_values(values)
-    rounds, merged_syms = _train(toks[:_SAMPLE_TOKENS])
+    rounds, merged_syms = _train(_sample_tokens(toks))
     for keys, ids in rounds:
-        toks = _replace_pairs(toks, keys, ids)
+        before = len(toks)
+        toks = _replace_pairs(toks, _pair_lut(keys, ids))
+        if before - len(toks) < before // 200:
+            # stagnant round: remaining rounds would save <0.5% each —
+            # skip them (their symbols just go unused in the stream)
+            break
 
     n_merged = len(merged_syms)
-    # assign codes: merged symbols first, then the most frequent remaining
-    # base bytes; everything else escapes
-    base_hist = np.bincount(toks[(toks >= 0) & (toks < 256)], minlength=256)
+    # codes: merged symbols first, then the most frequent remaining base
+    # bytes; anything else escapes
+    base_hist = np.bincount(toks[toks < 256], minlength=256)
     n_single = min(_MAX_CODES - n_merged, int((base_hist > 0).sum()))
     singles = np.argsort(-base_hist, kind="stable")[:n_single]
     singles = singles[base_hist[singles] > 0]
@@ -145,20 +182,25 @@ def encode_fsst(values: pa.Array) -> bytes:
     tok2code[singles] = np.arange(n_merged, n_merged + len(singles), dtype=np.uint8)
     table: list[bytes] = list(merged_syms) + [bytes([int(b)]) for b in singles]
 
-    live = toks >= 0
+    live = toks != _SENTINEL
     tok_live = toks[live].astype(np.int32)
     code = tok2code[tok_live]
     esc = code == _ESCAPE
-    out_len = 1 + esc.astype(np.int64)
-    pos = np.cumsum(out_len) - out_len
-    stream = np.empty(int(out_len.sum()), dtype=np.uint8)
+    out_len = np.ones(len(code), dtype=np.int32)
+    out_len += esc
+    pos = np.cumsum(out_len, dtype=np.int32)
+    pos -= out_len
+    stream = np.empty(int(pos[-1]) + int(out_len[-1]) if len(pos) else 0, dtype=np.uint8)
     stream[pos] = code
     if esc.any():
         stream[pos[esc] + 1] = tok_live[esc].astype(np.uint8)
 
     # per-string stream-byte lengths (sentinels emit nothing)
-    sid = np.cumsum(toks == -1)[live]
-    str_lens = np.bincount(sid, weights=out_len, minlength=max(n, 1)).astype(np.int64)[:n] if n else np.zeros(0, np.int64)
+    if n:
+        sid = np.cumsum(toks == _SENTINEL, dtype=np.int32)[live]
+        str_lens = np.bincount(sid, weights=out_len, minlength=n).astype(np.int64)[:n]
+    else:
+        str_lens = np.zeros(0, np.int64)
 
     out = bytearray()
     out.append(len(table))
@@ -176,7 +218,7 @@ def encode_fsst(values: pa.Array) -> bytes:
 def decode_fsst(buf: bytes, n: int, arrow_type: pa.DataType) -> pa.Array:
     mv = memoryview(buf)
     n_codes = mv[0]
-    lens = np.frombuffer(mv[1 : 1 + n_codes], dtype=np.uint8).astype(np.int64)
+    lens = np.frombuffer(mv[1 : 1 + n_codes], dtype=np.uint8).astype(np.int32)
     pos = 1 + n_codes
     blob_len = int(lens.sum())
     blob = np.frombuffer(mv[pos : pos + blob_len], dtype=np.uint8)
@@ -195,30 +237,51 @@ def decode_fsst(buf: bytes, n: int, arrow_type: pa.DataType) -> pa.Array:
     m = len(stream)
     if m:
         is_esc_byte = stream == _ESCAPE
-        idx = np.arange(m, dtype=np.int64)
-        run_start = is_esc_byte & ~np.concatenate(([False], is_esc_byte[:-1]))
-        last_start = np.maximum.accumulate(np.where(run_start, idx, -1))
-        marker = is_esc_byte & (((idx - last_start) & 1) == 0)
-        payload = np.concatenate(([False], marker[:-1]))
-        tok_pos = np.flatnonzero(~payload)
+        # markers: greedy chain rule over runs of consecutive 0xFF bytes
+        epos = np.flatnonzero(is_esc_byte).astype(np.int32)
+        if len(epos):
+            k = len(epos)
+            ridx = np.arange(k, dtype=np.int32)
+            chain_start = np.empty(k, dtype=bool)
+            chain_start[0] = True
+            np.greater(epos[1:] - epos[:-1], 1, out=chain_start[1:])
+            last_start = np.maximum.accumulate(np.where(chain_start, ridx, 0))
+            marker_sel = ((ridx - last_start) & 1) == 0
+            marker_pos = epos[marker_sel]
+        else:
+            marker_pos = epos
+        payload_mask = np.zeros(m, dtype=bool)
+        payload_mask[marker_pos + 1 if len(marker_pos) else marker_pos] = True
+        tok_pos = np.flatnonzero(~payload_mask).astype(np.int32)
+        marker = np.zeros(m, dtype=bool)
+        marker[marker_pos] = True
     else:
+        tok_pos = np.zeros(0, dtype=np.int32)
         marker = np.zeros(0, dtype=bool)
-        tok_pos = np.zeros(0, dtype=np.int64)
 
-    codes = stream[tok_pos]
+    codes = stream[tok_pos].astype(np.int32)
     is_esc = marker[tok_pos]
-    safe = np.where(is_esc, 0, codes).astype(np.int64)
-    sym_start = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-    out_len = np.where(is_esc, 1, lens[safe] if n_codes else 1)
-    start = np.where(is_esc, blob_len + tok_pos + 1, sym_start[safe] if n_codes else 0)
-    virtual = np.concatenate((blob, stream))
+    np.minimum(codes, max(n_codes - 1, 0), out=codes)  # safe index for escapes
+    sym_start = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    out_len = np.where(is_esc, np.int32(1), lens[codes] if n_codes else np.int32(1)).astype(np.int32)
     total = int(out_len.sum())
-    cum = np.cumsum(out_len) - out_len
-    gat = np.repeat(start, out_len) + (np.arange(total, dtype=np.int64) - np.repeat(cum, out_len))
-    out_bytes = virtual[gat] if total else np.zeros(0, np.uint8)
+    cum = np.cumsum(out_len, dtype=np.int32) - out_len
+    out_bytes = np.empty(total, dtype=np.uint8)
+    # non-escape tokens: gather from the symbol blob
+    ne = ~is_esc
+    if ne.any():
+        ne_len = out_len[ne]
+        ne_start = sym_start[codes[ne]]
+        ne_cum = cum[ne]
+        tot_ne = int(ne_len.sum())
+        within = np.arange(tot_ne, dtype=np.int32) - np.repeat(np.cumsum(ne_len, dtype=np.int32) - ne_len, ne_len)
+        out_bytes[np.repeat(ne_cum, ne_len) + within] = blob[np.repeat(ne_start, ne_len) + within]
+    if is_esc.any():
+        out_bytes[cum[is_esc]] = stream[tok_pos[is_esc] + 1]
 
-    # split by string: map token positions to string ids via stream offsets
-    str_starts = np.cumsum(str_lens) - str_lens
+    # split by string: token positions -> string ids via stream offsets
+    str_lens32 = str_lens.astype(np.int64)
+    str_starts = np.cumsum(str_lens32) - str_lens32
     sid = np.searchsorted(str_starts, tok_pos, side="right") - 1 if m else np.zeros(0, np.int64)
     per_str = np.bincount(sid, weights=out_len, minlength=n).astype(np.int64) if len(sid) else np.zeros(n, np.int64)
     offsets = np.concatenate(([0], np.cumsum(per_str))).astype(np.int64)

@@ -1,0 +1,187 @@
+"""Per-partition checkpoint / lineage with resume — emulated Iceberg.
+
+North-rule component: "per-partition checkpoint/lineage records in an
+Iceberg metadata table enabling resume after failure".  No Iceberg jars
+exist in this sandbox (SURVEY.md §7), so the catalog is emulated as a
+partitioned-parquet chunk store plus a lineage table whose schema
+matches an Iceberg snapshot/manifest row (snapshot_id, partition,
+file count, record_count, bytes, status, attempt, committed_at); the
+engine touches it only through this module, so a real Iceberg catalog
+could be dropped in behind the same calls.
+
+Determinism is the key design point: the partition id is a *content
+hash* — pmod(xxhash64(lang, repo, salt), num_parts) — not a task id,
+so a resumed job re-derives exactly the same partition → rows mapping
+and can skip completed partitions with a filter (an anti-join against
+the lineage table).  Orphan chunk directories from a crash between
+data write and lineage commit are detected and dropped on resume.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.engine import DEFAULT_CHUNK_ROWS, decode_dataframe, encode_dataframe
+
+LINEAGE_COLUMNS = [
+    "snapshot_id",
+    "part_id",
+    "chunk_count",
+    "record_count",
+    "encoded_bytes",
+    "plain_bytes",
+    "status",
+    "attempt",
+    "committed_at",
+]
+
+
+class EncodeJob:
+    """A checkpointed encode job writing to ``base_dir``.
+
+    Layout:
+      base_dir/chunks/part_id=N/*.parquet   — encoded column chunks
+      base_dir/lineage/*.parquet            — commit records
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        num_parts: int = 64,
+        keys: tuple[str, ...] = ("lang", "repo"),
+        codec: str = "auto",
+        chunk_rows: int = DEFAULT_CHUNK_ROWS,
+        snapshot_id: str = "snap-0",
+        salt_target_rows: int = 1 << 20,
+    ) -> None:
+        self.base_dir = base_dir
+        self.chunks_dir = os.path.join(base_dir, "chunks")
+        self.lineage_dir = os.path.join(base_dir, "lineage")
+        self.num_parts = num_parts
+        self.keys = keys
+        self.codec = codec
+        self.chunk_rows = chunk_rows
+        self.snapshot_id = snapshot_id
+        self.salt_target_rows = salt_target_rows
+
+    # -------------------------------------------------- partition key
+
+    def with_part(self, df: DataFrame) -> DataFrame:
+        """Deterministic content-hash partition id (salted for skew)."""
+        others = [c for c in df.columns if c not in self.keys]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in others] or [F.lit(0)]), F.lit(64))
+        key = F.xxhash64(*[F.col(k) for k in self.keys], salt)
+        return df.withColumn("_part", F.pmod(key, F.lit(self.num_parts)).cast("int"))
+
+    # -------------------------------------------------- lineage access
+
+    def lineage(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.lineage_dir) or not os.listdir(self.lineage_dir):
+            return None
+        return spark.read.parquet(self.lineage_dir)
+
+    def completed_parts(self, spark: SparkSession) -> set[int]:
+        lin = self.lineage(spark)
+        if lin is None:
+            return set()
+        rows = (
+            lin.filter(F.col("status") == "committed")
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        return {r["part_id"] for r in rows}
+
+    def _clean_orphans(self, completed: set[int]) -> list[int]:
+        """Drop chunk dirs written by a crashed attempt (data present,
+        lineage missing) so resume re-encodes them exactly once."""
+        dropped = []
+        if not os.path.isdir(self.chunks_dir):
+            return dropped
+        for name in os.listdir(self.chunks_dir):
+            if not name.startswith("part_id="):
+                continue
+            pid = int(name.split("=", 1)[1])
+            if pid not in completed:
+                shutil.rmtree(os.path.join(self.chunks_dir, name))
+                dropped.append(pid)
+        return dropped
+
+    # -------------------------------------------------- run / resume
+
+    def run(self, df: DataFrame, only_parts: list[int] | None = None) -> dict:
+        """Encode all not-yet-committed partitions of ``df`` and commit
+        them; idempotent — a second call is a no-op, a call after a
+        partial failure finishes the remainder.
+
+        ``only_parts`` restricts the run (used by tests to simulate an
+        interrupted job).
+        """
+        spark = df.sparkSession
+        completed = self.completed_parts(spark)
+        orphans = self._clean_orphans(completed)
+
+        keyed = self.with_part(df)
+        pending = keyed
+        if completed:
+            pending = pending.filter(~F.col("_part").isin(*completed))
+        if only_parts is not None:
+            pending = pending.filter(F.col("_part").isin(*only_parts))
+
+        shuffled = pending.repartition(self.num_parts, F.col("_part")).sortWithinPartitions("_part")
+        chunks = encode_dataframe(shuffled, codec=self.codec, chunk_rows=self.chunk_rows, part_col="_part")
+        chunks.write.mode("append").partitionBy("part_id").parquet(self.chunks_dir)
+
+        # derive lineage rows from what was just written
+        written = spark.read.parquet(self.chunks_dir)
+        if completed:
+            written = written.filter(~F.col("part_id").isin(*completed))
+        attempt = 1
+        lin = self.lineage(spark)
+        if lin is not None:
+            prev = lin.agg(F.max("attempt")).collect()[0][0]
+            attempt = int(prev or 0) + 1
+        new_lineage = (
+            written.groupBy("part_id")
+            .agg(
+                F.count("*").alias("chunk_count"),
+                # every column chunk of a (part, chunk) repeats num_rows,
+                # so divide the sum by the column count for true records
+                F.sum("num_rows").alias("record_count_x"),
+                F.countDistinct("column").alias("n_cols"),
+                F.sum("encoded_bytes").alias("encoded_bytes"),
+                F.sum("plain_bytes").alias("plain_bytes"),
+            )
+            .select(
+                F.lit(self.snapshot_id).alias("snapshot_id"),
+                F.col("part_id"),
+                F.col("chunk_count"),
+                (F.col("record_count_x") / F.col("n_cols")).cast("long").alias("record_count"),
+                F.col("encoded_bytes"),
+                F.col("plain_bytes"),
+                F.lit("committed").alias("status"),
+                F.lit(attempt).alias("attempt"),
+                F.lit(time.strftime("%Y-%m-%dT%H:%M:%S")).alias("committed_at"),
+            )
+        )
+        n_new = new_lineage.count()
+        new_lineage.write.mode("append").parquet(self.lineage_dir)
+        return {
+            "committed_partitions": n_new,
+            "skipped_partitions": len(completed),
+            "orphans_cleaned": orphans,
+            "attempt": attempt,
+        }
+
+    # -------------------------------------------------- read back
+
+    def chunks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.chunks_dir)
+
+    def decode(self, spark: SparkSession, schema) -> DataFrame:
+        return decode_dataframe(self.chunks(spark), schema)

@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first design notes (100 TB posture):
+* no driver-side loops and no cross joins — every candidate-pair
+  generator is a shuffle on a *blocking key* (band hash / simhash
+  block), which is the only thing that scales;
+* shingle/signature math stays JVM-side (higher-order functions over
+  arrays + xxhash64) so whole-stage codegen applies; numpy appears only
+  in the simhash bit-fold, an Arrow-batched pandas UDF;
+* verification (exact Jaccard / hamming) runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.pipeline.text import TOKEN_RE
+
+# deterministic MinHash parameters; Mersenne-31 keeps a*(s mod p)+b
+# comfortably inside a signed 64-bit long (ANSI mode throws on overflow)
+_MERSENNE = (1 << 31) - 1
+_N_PERM = 32
+_BANDS = 8  # 8 bands x 4 rows
+_ROWS = _N_PERM // _BANDS
+
+
+def _tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: groups with >1 doc, keeper = min id."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs (oracle-able baseline).
+
+    O(n²) verification — correctness baseline for the LSH variants; at
+    scale use minhash_lsh_pairs which generates candidates first.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_tokens(F.col(text_col))).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Hashes of token k-gram shingles, JVM-side."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    )
+
+
+def minhash_signature(sh: Column, n_perm: int = _N_PERM) -> Column:
+    """MinHash signature over a *materialized* shingle-hash column:
+    sig_i = min over shingles of (a_i*h+b_i) mod p.
+
+    Takes a column reference, not the shingle expression — inlining the
+    shingle computation into all n_perm transforms makes Catalyst
+    evaluate it n_perm times (measured 30x slowdown)."""
+
+    def perm_min(a: int, b: int):
+        # nb: the lambda must take exactly one arg (pyspark reads arity)
+        def fn(s):
+            return F.pmod(F.lit(a) * F.pmod(s, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE))
+
+        return F.array_min(F.transform(sh, fn))
+
+    parts = []
+    for i in range(n_perm):
+        a = (0x9E3779B9 * (i + 1)) % _MERSENNE or 1
+        b = (0xC2B2AE3D * (i + 7)) % _MERSENNE
+        parts.append(perm_min(a, b))
+    return F.array(*parts)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding: candidates from band-hash blocking, then
+    signature-estimated Jaccard >= threshold.
+
+    shingle → minhash → band → bucket-join: the shuffle key is the band
+    hash, so work scales with bucket sizes, never n².
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        _shingle_hashes(F.col(text_col)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sigs = shingled.select("id", minhash_signature(F.col("sh")).alias("sig"))
+
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", i * _ROWS + r + 1).cast("string") for r in range(_ROWS)]))
+                    for i in range(_BANDS)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.size("sig_a")
+    return cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched numpy bit fold)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    @pandas_udf("long")
+    def fold(th_series):
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(th_series), dtype=np.int64)
+        for i, arr in enumerate(th_series):
+            if arr is None or len(arr) == 0:
+                continue
+            v = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for j in np.flatnonzero(acc > 0):
+                sim |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sim.astype(np.int64))
+        return pd.Series(out)
+
+    return hashed.select("id", fold("th").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= k via 4x16-bit block
+    blocking (pigeonhole: hamming<=3 ⇒ one of 4 blocks equal)."""
+    sims = simhash_bits(df, text_col, id_col)
+    def _signed64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    blocks = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col("simhash").bitwiseAND(F.lit(_signed64(0xFFFF << (16 * i)))).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("block", "bv"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints: min rolling k-gram hash per
+    window (Schleimer et al.) — JVM-side over token-hash arrays."""
+    toks = _tokens(F.col(text_col))
+    kh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(kh) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(kh, i, window)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(wins).alias("fingerprints"),
+    )

@@ -128,6 +128,10 @@ def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
     # trial-encode a contiguous prefix so run-based codecs compete fairly
     sample = values.slice(0, min(len(values), _SAMPLE_ROWS))
     base = plain_size(sample, physical)
+    # expensive codecs must clear a margin over PLAIN; a ~5% win (e.g.
+    # fsst's bit-packed lengths vs PLAIN's u32 prefixes on random data)
+    # doesn't pay for encode/decode cost
+    margin = {"fsst": 0.85, "dict": 0.95, "rle": 0.95, "for": 0.98}
     best, best_size = "plain", base
     for c in cands:
         if c == "plain":
@@ -136,6 +140,6 @@ def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
             sz = len(_encode_values(sample, c, physical))
         except (ValueError, TypeError):
             continue
-        if sz < best_size:
+        if sz < best_size and sz < base * margin.get(c, 1.0):
             best, best_size = c, sz
     return best

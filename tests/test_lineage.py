@@ -1,0 +1,85 @@
+"""Checkpoint / lineage / resume tests."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.datagen import source_repos_from_documents
+from cpp_parquet_spark.lineage import EncodeJob
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "job")
+
+
+def _src(spark):
+    return source_repos_from_documents(spark, "/root/testdata/sf0.001")
+
+
+def test_full_run_and_decode(spark, workdir):
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=8, chunk_rows=4096)
+    res = job.run(src)
+    assert res["committed_partitions"] >= 1
+    assert res["skipped_partitions"] == 0
+    decoded = job.decode(spark, src.schema)
+    assert decoded.count() == src.count()
+    # per-row sha equality
+    a = src.select(F.sha2("content", 256).alias("s"))
+    b = decoded.select(F.sha2("content", 256).alias("s"))
+    assert a.exceptAll(b).count() == 0
+
+
+def test_rerun_is_noop(spark, workdir):
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=4, chunk_rows=4096)
+    first = job.run(src)
+    second = job.run(src)
+    assert second["committed_partitions"] == 0
+    assert second["skipped_partitions"] == first["committed_partitions"]
+    # no duplicated data
+    assert job.decode(spark, src.schema).count() == src.count()
+
+
+def test_resume_after_partial_failure(spark, workdir):
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=8, chunk_rows=4096)
+    all_parts = sorted(
+        r["_part"] for r in job.with_part(src).select("_part").distinct().collect()
+    )
+    assert len(all_parts) >= 2
+    # simulate a job that died after committing only some partitions
+    first_half = all_parts[: len(all_parts) // 2]
+    r1 = job.run(src, only_parts=first_half)
+    assert r1["committed_partitions"] == len(first_half)
+    # simulate a crash *between* chunk write and lineage commit: orphan dir
+    orphan = os.path.join(job.chunks_dir, f"part_id={all_parts[-1]}")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "garbage.parquet"), "w") as f:
+        f.write("")
+
+    r2 = job.run(src)
+    assert r2["skipped_partitions"] == len(first_half)
+    assert all_parts[-1] in r2["orphans_cleaned"]
+    assert r2["committed_partitions"] == len(all_parts) - len(first_half)
+
+    decoded = job.decode(spark, src.schema)
+    assert decoded.count() == src.count()
+    a = src.select(F.sha2("content", 256).alias("s"))
+    b = decoded.select(F.sha2("content", 256).alias("s"))
+    assert a.exceptAll(b).count() == 0
+
+
+def test_lineage_schema(spark, workdir):
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=4, snapshot_id="snap-42")
+    job.run(src)
+    lin = job.lineage(spark)
+    rows = lin.collect()
+    assert all(r["snapshot_id"] == "snap-42" for r in rows)
+    assert all(r["status"] == "committed" for r in rows)
+    assert sum(r["record_count"] for r in rows) == src.count()
+    assert all(r["encoded_bytes"] > 0 for r in rows)

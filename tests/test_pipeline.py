@@ -1,0 +1,167 @@
+"""Training-data pipeline operator tests (dedup, similarity, text,
+multimodal) with planted ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_exact_duplicates_finds_planted(spark):
+    from cpp_parquet_spark.pipeline.dedup import exact_duplicates
+
+    docs = _docs(spark)
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 10**6)
+    n_planted = dup.count()
+    groups = exact_duplicates(docs.unionByName(dup)).collect()
+    assert len(groups) >= n_planted  # every planted copy forms a group
+    assert all(g["n_dups"] >= 2 for g in groups)
+    assert all(g["keeper_id"] < 10**6 for g in groups)
+
+
+def test_minhash_lsh_finds_exact_copies(spark):
+    from cpp_parquet_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark).limit(120)
+    dup = docs.filter(F.col("doc_id") % 20 == 0).withColumn("doc_id", F.col("doc_id") + 10**6)
+    planted = {r["doc_id"] for r in dup.collect()}
+    pairs = minhash_lsh_pairs(docs.unionByName(dup), threshold=0.9).collect()
+    found_b = {p["id_b"] for p in pairs}
+    # every planted exact copy must be caught (est jaccard = 1.0)
+    missing = planted - found_b
+    assert not missing, f"LSH missed planted exact dups: {missing}"
+    exact = [p for p in pairs if p["id_b"] in planted and p["id_a"] == p["id_b"] - 10**6]
+    assert all(p["est_jaccard"] == 1.0 for p in exact)
+
+
+def test_minhash_near_duplicate(spark):
+    from cpp_parquet_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark).limit(50)
+    # near-dup: append a short suffix -> token shingles mostly shared
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words here")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(near), threshold=0.5).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for r in near.select("doc_id").collect():
+        assert (r["doc_id"] - 10**6, r["doc_id"]) in found
+
+
+def test_simhash_hamming_zero_for_copies(spark):
+    from cpp_parquet_spark.pipeline.dedup import simhash_pairs
+
+    docs = _docs(spark).limit(80)
+    dup = docs.filter(F.col("doc_id") % 20 == 0).withColumn("doc_id", F.col("doc_id") + 10**6)
+    pairs = simhash_pairs(docs.unionByName(dup), max_hamming=3).collect()
+    planted = {r["doc_id"] for r in dup.collect()}
+    exact = [p for p in pairs if p["id_b"] in planted and p["id_a"] == p["id_b"] - 10**6]
+    assert len(exact) == len(planted)
+    assert all(p["hamming"] == 0 for p in exact)
+
+
+def test_token_jaccard_identity(spark):
+    from cpp_parquet_spark.pipeline.dedup import token_jaccard_pairs
+
+    docs = _docs(spark).limit(30)
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 10**6)
+    pairs = token_jaccard_pairs(docs.unionByName(dup), threshold=0.99).collect()
+    planted = {r["doc_id"] for r in dup.collect()}
+    exact = [p for p in pairs if p["id_b"] in planted and p["id_a"] == p["id_b"] - 10**6]
+    assert len(exact) == len(planted)
+    assert all(p["jaccard"] == 1.0 for p in exact)
+
+
+def test_winnow_fingerprints(spark):
+    from cpp_parquet_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = _docs(spark).limit(20)
+    fp = winnow_fingerprints(docs).collect()
+    assert all(len(r["fingerprints"]) >= 1 for r in fp)
+    # deterministic
+    fp2 = winnow_fingerprints(docs).collect()
+    assert sorted(map(repr, fp)) == sorted(map(repr, fp2))
+
+
+def test_cosine_topk_self_similarity(spark):
+    from cpp_parquet_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact copy of each query vector: it must rank first
+    copies = emb.filter(F.col("vec_id") % 50 == 0).withColumn("vec_id", F.col("vec_id") + 10**6)
+    res = cosine_topk(emb.unionByName(copies), k=3, query_filter="vec_id % 50 = 0 AND vec_id < 1000000")
+    top1 = {r["qid"]: (r["cid"], r["cosine"]) for r in res.collect() if r["rank"] == 1}
+    for qid, (cid, cos) in top1.items():
+        assert cid == qid + 10**6
+        assert cos == 1.0
+
+
+def test_embedding_lsh_candidates_contain_copies(spark):
+    from cpp_parquet_spark.pipeline.similarity import embedding_near_dup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    copies = emb.filter(F.col("vec_id") % 40 == 0).withColumn("vec_id", F.col("vec_id") + 10**6)
+    res = embedding_near_dup_lsh(emb.unionByName(copies), threshold=0.999).collect()
+    planted = {r["vec_id"] for r in copies.collect()}
+    got = {(p["id_a"], p["id_b"]) for p in res}
+    for pid in planted:
+        assert (pid - 10**6, pid) in got  # identical vectors share every bucket
+
+
+def test_text_stats_and_quality(spark):
+    from cpp_parquet_spark.pipeline.text import quality_features, text_stats
+
+    docs = _docs(spark).limit(50)
+    stats = text_stats(docs).collect()
+    assert all(r["n_tokens"] > 0 for r in stats)
+    assert all(len(r["fingerprint"]) == 32 for r in stats)
+    q = quality_features(docs.select("doc_id", "text")).collect()
+    for r in q:
+        assert 0 <= r["q_alnum_ratio"] <= 1
+        assert 0 <= r["q_stopword_ratio"] <= 1
+        assert r["q_chars"] > 0
+
+
+def test_lang_guess_on_datagen(spark):
+    from cpp_parquet_spark.datagen import synthetic_source_repos
+    from cpp_parquet_spark.pipeline.text import lang_guess
+
+    df = synthetic_source_repos(spark, 300)
+    res = df.select("lang", lang_guess(F.col("content")).alias("guess")).collect()
+    hits = sum(1 for r in res if r["guess"] == r["lang"])
+    # heuristic: most python/go/cpp/java rows should be recognized
+    recognizable = sum(1 for r in res if r["lang"] in ("python", "go", "cpp", "java"))
+    assert hits >= recognizable * 0.8
+
+
+def test_multimodal_features_and_frames(spark):
+    from cpp_parquet_spark.pipeline.multimodal import (
+        extract_features,
+        frame_sample,
+        synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark).limit(60))
+    feats = extract_features(media, mode="fake").collect()
+    assert len(feats) == 60
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-3
+        assert r["n_bytes"] > 0
+    frames = frame_sample(media, n_frames=3).collect()
+    assert len(frames) > 0
+    assert all(len(r["frame"]) <= 16 for r in frames)
+
+
+def test_multimodal_real_mode_is_gated(spark):
+    from cpp_parquet_spark.pipeline.multimodal import extract_features, synthetic_media
+    from py4j.protocol import Py4JJavaError
+
+    media = synthetic_media(_docs(spark).limit(5))
+    with pytest.raises(Exception) as exc:
+        extract_features(media, mode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "real media decode" in str(exc.value)
