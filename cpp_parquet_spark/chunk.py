@@ -30,7 +30,7 @@ from cpp_parquet_spark.schema_plan import ColumnPlan
 
 MAGIC = b"SGC1"
 
-CODECS = ("plain", "dict", "rle", "fsst", "for")
+CODECS = ("plain", "dict", "rle", "fsst", "for", "lined")
 _CODEC_ID = {name: i for i, name in enumerate(CODECS)}
 
 
@@ -45,6 +45,12 @@ def _encode_values(values: pa.Array, codec: str, physical: str) -> bytes:
         if physical != "BYTE_ARRAY":
             raise ValueError("fsst only applies to BYTE_ARRAY columns")
         return encode_fsst(values)
+    if codec == "lined":
+        from cpp_parquet_spark.kernels.lined import encode_lined
+
+        if physical != "BYTE_ARRAY":
+            raise ValueError("lined only applies to BYTE_ARRAY columns")
+        return encode_lined(values)
     if codec == "for":
         from cpp_parquet_spark.kernels.forpack import encode_for
 
@@ -63,6 +69,10 @@ def _decode_values(buf: bytes, n: int, codec: str, physical: str, arrow_type: pa
         return decode_rle_runs(buf, n, physical, arrow_type)
     if codec == "fsst":
         return decode_fsst(buf, n, arrow_type)
+    if codec == "lined":
+        from cpp_parquet_spark.kernels.lined import decode_lined
+
+        return decode_lined(buf, n, arrow_type)
     if codec == "for":
         from cpp_parquet_spark.kernels.forpack import decode_for
 

@@ -56,6 +56,7 @@ CHUNK_SCHEMA = StructType(
         StructField("num_values", LongType(), False),
         StructField("plain_bytes", LongType(), False),
         StructField("encoded_bytes", LongType(), False),
+        StructField("encode_ms", LongType(), False),
         StructField("payload", BinaryType(), False),
     ]
 )
@@ -72,6 +73,7 @@ _CHUNK_ARROW = pa.schema(
         ("num_values", pa.int64()),
         ("plain_bytes", pa.int64()),
         ("encoded_bytes", pa.int64()),
+        ("encode_ms", pa.int64()),
         ("payload", pa.binary()),
     ]
 )
@@ -92,9 +94,12 @@ def _encode_table(
     from cpp_parquet_spark.kernels.levels import shred
     from cpp_parquet_spark.selector import select_codec
 
+    import time
+
     rows: list[tuple] = []
     n_rows = table.num_rows
     for plan in plans:
+        t0 = time.time()
         col = table.column(plan.path[0])
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         sh = shred(arr, plan)
@@ -112,6 +117,7 @@ def _encode_table(
                 meta.num_values,
                 meta.plain_bytes,
                 meta.encoded_bytes,
+                int((time.time() - t0) * 1000),
                 blob,
             )
         )
@@ -279,10 +285,17 @@ def partition_for_encoding(
     key_cols = [F.col(k) for k in keys]
     salt_col = F.lit(0)
     if salt:
+        # skew detection on a deterministic sample: at 100 TB a full
+        # count is a whole extra input scan; a 1% sample finds every
+        # key that matters (a key owning >target_rows rows appears
+        # >target_rows/100 times in the sample w.h.p.)
+        frac = min(1.0, max(0.001, 100.0 / max(target_rows, 1)))
         skewed = (
-            df.groupBy(*keys)
+            df.sample(fraction=frac, seed=42)
+            .groupBy(*keys)
             .count()
-            .filter(F.col("count") > target_rows)
+            .filter(F.col("count") > int(target_rows * frac * 0.5))
+            .withColumn("count", (F.col("count") / frac).cast("long"))
             .collect()
         )
         if skewed:

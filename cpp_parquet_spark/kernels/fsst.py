@@ -91,8 +91,7 @@ def _replace_pairs(toks: np.ndarray, lut: np.ndarray) -> np.ndarray:
     the LUT's pairs (key = left*512 + right) with their new token."""
     if len(toks) < 2:
         return toks
-    key = toks[:-1].astype(np.int32)
-    key *= _KEY_BASE
+    key = np.multiply(toks[:-1], _KEY_BASE, dtype=np.int32)
     key += toks[1:]
     hit = lut[key]
     mpos = np.flatnonzero(hit >= 0).astype(np.int32)
@@ -133,8 +132,7 @@ def _train(sample: np.ndarray) -> tuple[list[tuple[np.ndarray, np.ndarray]], lis
     for _ in range(_ROUNDS):
         if n_merged >= budget or len(toks) < 2:
             break
-        key = toks[:-1].astype(np.int32)
-        key *= _KEY_BASE
+        key = np.multiply(toks[:-1], _KEY_BASE, dtype=np.int32)
         key += toks[1:]
         uniq, counts = np.unique(key, return_counts=True)
         ok = (uniq // _KEY_BASE != _SENTINEL) & (uniq % _KEY_BASE != _SENTINEL)

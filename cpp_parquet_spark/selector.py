@@ -33,6 +33,7 @@ class ColumnStats:
     avg_len: float  # BYTE_ARRAY only; 0 otherwise
     byte_entropy: float  # BYTE_ARRAY only (bits/byte on sample); 0 otherwise
     int_range_bits: int  # integer types only; width of (max-min)
+    avg_newlines: float = 0.0  # BYTE_ARRAY only; newlines per value
 
 
 def _sample(values: pa.Array) -> pa.Array:
@@ -53,7 +54,7 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
     # runs must be measured on a *contiguous* slice — a strided sample
     # destroys run structure
     runs = run_count(values.slice(0, min(n, _SAMPLE_ROWS)))
-    avg_len = entropy = 0.0
+    avg_len = entropy = avg_nl = 0.0
     range_bits = 0
     if physical == "BYTE_ARRAY":
         lens = pc.binary_length(sample)
@@ -65,6 +66,7 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
             hist = np.bincount(raw, minlength=256).astype(np.float64)
             p = hist[hist > 0] / len(raw)
             entropy = float(-(p * np.log2(p)).sum())
+            avg_nl = float(hist[10] / len(raw) * avg_len)
     elif physical in ("INT32", "INT64"):
         t = sample
         if pa.types.is_timestamp(t.type) or pa.types.is_date(t.type):
@@ -72,7 +74,7 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
         mm = pc.min_max(t)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         range_bits = int(hi - lo).bit_length() if hi is not None else 0
-    return ColumnStats(n, card, runs, avg_len, entropy, range_bits)
+    return ColumnStats(n, card, runs, avg_len, entropy, range_bits, avg_nl)
 
 
 def shortlist(stats: ColumnStats, physical: str) -> list[str]:
@@ -89,8 +91,12 @@ def shortlist(stats: ColumnStats, physical: str) -> list[str]:
             cands.append("rle")
         if low_card:
             cands.append("dict")
-        # redundancy worth FSST: mid/low entropy or long repetitive strings
-        if s.avg_len >= 8 and (s.byte_entropy < 7.0 or not cands):
+        # multi-line text: line-dictionary is both the fastest and the
+        # strongest codec when lines repeat (source code)
+        if s.avg_newlines >= 2 and not low_card:
+            cands.append("lined")
+        # redundancy worth FSST: mid/low entropy, not already dict-able
+        if s.avg_len >= 8 and not low_card and s.byte_entropy < 7.0:
             cands.append("fsst")
         cands.append("plain")
     elif physical in ("INT32", "INT64"):
@@ -131,11 +137,14 @@ def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
     # expensive codecs must clear a margin over PLAIN; a ~5% win (e.g.
     # fsst's bit-packed lengths vs PLAIN's u32 prefixes on random data)
     # doesn't pay for encode/decode cost
-    margin = {"fsst": 0.85, "dict": 0.95, "rle": 0.95, "for": 0.98}
+    margin = {"fsst": 0.85, "lined": 0.9, "dict": 0.95, "rle": 0.95, "for": 0.98}
     best, best_size = "plain", base
     for c in cands:
         if c == "plain":
             continue
+        if c == "fsst" and best_size < base * 0.5:
+            continue  # a cheap codec already halved the data; skip the
+            # expensive fsst trial — it rarely beats a 2x-winning lined/dict
         try:
             sz = len(_encode_values(sample, c, physical))
         except (ValueError, TypeError):

@@ -173,3 +173,44 @@ def test_dict_rle_property(vals):
         enc = enc_f(arr, "BYTE_ARRAY")
         out = dec_f(enc, len(vals), "BYTE_ARRAY", pa.string())
         assert out.to_pylist() == vals
+
+
+def test_lined_roundtrip_and_ratio():
+    from cpp_parquet_spark.kernels.lined import decode_lined, encode_lined
+
+    vals = [
+        "import os\nimport sys\n\ndef main():\n    return 0\n" * (1 + i % 3)
+        for i in range(2000)
+    ]
+    arr = pa.array(vals, type=pa.string())
+    enc = encode_lined(arr)
+    out = decode_lined(enc, len(vals), pa.string())
+    assert out.to_pylist() == vals
+    assert len(enc) < plain_size(arr, "BYTE_ARRAY") / 4
+
+
+def test_lined_edge_cases():
+    from cpp_parquet_spark.kernels.lined import decode_lined, encode_lined
+
+    for vals in ([], [""], ["\n"], ["a\n", "\nb", "", "no newline", "\n\n\n"], ["x" * 5000]):
+        arr = pa.array(vals, type=pa.string())
+        enc = encode_lined(arr)
+        out = decode_lined(enc, len(vals), pa.string())
+        assert out.to_pylist() == vals, vals
+
+
+def test_selector_line_repetitive_picks_lined():
+    from cpp_parquet_spark.selector import select_codec
+
+    tpl = "import os\nimport sys\n\nclass Handler:\n    def run(self):\n        return self.x\n"
+    vals = [f"// id={i}\n" + tpl * (1 + i % 3) for i in range(3000)]
+    assert select_codec(pa.array(vals), "BYTE_ARRAY") == "lined"
+
+
+def test_selector_unique_lines_picks_fsst():
+    from cpp_parquet_spark.selector import select_codec
+
+    # every line unique -> the line dictionary can't win; fsst's
+    # substring symbols can
+    vals = [f"import os\nclass Foo{i}:\n    def run(self):\n        return {i}\n" for i in range(3000)]
+    assert select_codec(pa.array(vals), "BYTE_ARRAY") == "fsst"

@@ -1,0 +1,61 @@
+"""Structured Streaming tests: streaming encode (foreachBatch ->
+EncodeJob) and watermarked windowed aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.datagen import source_repos_from_documents
+from cpp_parquet_spark.lineage import EncodeJob
+from cpp_parquet_spark.streaming import encode_stream, windowed_event_stats
+
+
+def test_streaming_encode_availablenow(spark, tmp_path):
+    # stage the F1 table as files, stream them in, encode each batch
+    src_dir = str(tmp_path / "src")
+    src = source_repos_from_documents(spark, "/root/testdata/sf0.001")
+    src.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 2).parquet(src_dir)
+    job = EncodeJob(str(tmp_path / "job"), num_parts=4, chunk_rows=4096, snapshot_id="s")
+    q = encode_stream(stream, job, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    decoded = job.decode(spark, src.schema)
+    assert decoded.count() == src.count()
+    a = src.select(F.sha2("content", 256).alias("s"))
+    b = decoded.select(F.sha2("content", 256).alias("s"))
+    assert a.exceptAll(b).count() == 0
+    # one lineage snapshot per micro-batch
+    snaps = {r["snapshot_id"] for r in job.lineage(spark).collect()}
+    assert all(s.startswith("s-b") for s in snaps)
+
+
+def test_windowed_event_stats_batch_semantics(spark):
+    # run the streaming aggregation in batch mode to pin its semantics
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_stats(events).collect()
+    assert len(out) > 0
+    total = sum(r["n_events"] for r in out)
+    assert total == events.count()
+    assert all(r["window_end"] > r["window_start"] for r in out)
+
+
+def test_windowed_event_stats_streaming_drops_state(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "ev")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = windowed_event_stats(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode only emits windows closed by the watermark; with a
+    # single batch nothing may close — the assertion is that the
+    # streaming plan is valid and runs to completion
+    assert q.lastProgress is not None
