@@ -214,6 +214,21 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation (cpp_parquet_spark.streaming)
+    run in batch mode — same plan shape, oracle-checkable."""
+    from cpp_parquet_spark.streaming import windowed_event_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_stats(events)
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoder engine (SURVEY.md §2 operators, end-to-end)
@@ -233,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multimodal_features": _q_multimodal_features,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -353,6 +369,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
               FROM s
             ) WHERE rank <= 5
+        """,
+        "events_hourly": """
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "embedding_near_dup": """
             WITH all_emb AS (
