@@ -13,6 +13,9 @@ from pyspark.sql import SparkSession
 MALLOC_ENV = {
     "MALLOC_MMAP_THRESHOLD_": "1073741824",
     "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    # route Arrow allocations through glibc too, so the thresholds above
+    # apply to pyarrow's pools instead of jemalloc's own mmap churn
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 
