@@ -92,13 +92,24 @@ def warm_workers(spark, input_path: str) -> None:
     encode_dataframe(df, codec="auto").groupBy().agg(F.sum("encoded_bytes")).collect()
 
 
-def run_encode(spark, input_path: str, chunks_out: str | None = None, num_partitions: int | None = None):
+def run_encode(
+    spark,
+    input_path: str,
+    chunks_out: str | None = None,
+    num_partitions: int | None = None,
+    repeat_input: int = 1,
+):
     """Returns (seconds, totals dict). Timing covers read→shuffle→encode→agg."""
+    import functools
+
+    from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
     from cpp_parquet_spark.engine import encode_pipeline
 
     df = spark.read.parquet(input_path)
+    if repeat_input > 1:
+        df = functools.reduce(DataFrame.unionByName, [df] * repeat_input)
     t0 = time.time()
     chunks = encode_pipeline(
         df,
@@ -175,13 +186,19 @@ def main() -> None:
         times = {}
         # identical job at both core counts: same partition layout, so
         # only the executor count varies (the N -> 4N protocol)
-        parts = SCALE_N * 8
+        # enough partitions that per-chunk buffers stay small: large
+        # chunks make concurrent workers serialize on page faults
+        parts = 64
         for cores in (SCALE_N, SCALE_N * 4):
             s = make_session(cores)
             warm_workers(s, input_path)
-            run_encode(s, input_path, num_partitions=parts)  # warm pass
-            # min of 2: the box has heavy external timing noise
-            t = min(run_encode(s, input_path, num_partitions=parts)[0] for _ in range(2))
+            # 2x the input (lazy self-union) so per-task fixed costs
+            # amortize; first run doubles as the warm pass; min-of-2
+            # because the box has heavy external timing noise
+            t = min(
+                run_encode(s, input_path, num_partitions=parts, repeat_input=2)[0]
+                for _ in range(2)
+            )
             times[cores] = t
             s.stop()
             print(f"[bench] scaling local[{cores}]: {t:.1f}s", file=sys.stderr, flush=True)

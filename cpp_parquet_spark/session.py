@@ -10,12 +10,13 @@ from pyspark.sql import SparkSession
 # buffers inside the glibc arena instead of mmap/munmap-ing them per
 # allocation (20x decode, 4x encode on measured kernels).  Must be set
 # before the JVM (and thus the Python workers) starts.
+# Note: ARROW_DEFAULT_MEMORY_POOL=system was tried here and REVERTED —
+# routing Arrow through glibc inverted multi-worker scaling (local[8]
+# became 2x slower than local[2]); jemalloc handles concurrent workers
+# far better on this box.
 MALLOC_ENV = {
     "MALLOC_MMAP_THRESHOLD_": "1073741824",
     "MALLOC_TRIM_THRESHOLD_": "1073741824",
-    # route Arrow allocations through glibc too, so the thresholds above
-    # apply to pyarrow's pools instead of jemalloc's own mmap churn
-    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 
