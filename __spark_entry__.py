@@ -214,6 +214,24 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decoded_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregation over *decoded* tables: customer and orders
+    both pass through encode→decode, then feed a normal Catalyst
+    broadcast/shuffle join — the engine's output is a first-class
+    DataFrame source."""
+    cust = _roundtrip(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    orders = _roundtrip(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming windowed aggregation (cpp_parquet_spark.streaming)
     run in batch mode — same plan shape, oracle-checkable."""
@@ -249,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
+        "decoded_join_revenue": _q_decoded_join_revenue,
     }
 
 
@@ -369,6 +388,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rank
               FROM s
             ) WHERE rank <= 5
+        """,
+        "decoded_join_revenue": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "events_hourly": """
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
