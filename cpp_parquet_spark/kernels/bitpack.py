@@ -34,20 +34,28 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     """Bit-pack unsigned ints LSB-first, little-endian within bytes.
 
     len(values) * width bits, zero-padded to a byte boundary.
+
+    Implemented as unpackbits(LE u64 bytes) → truncate rows to
+    ``width`` bits → packbits: the whole transpose lives in numpy's C
+    bit kernels instead of an O(n*width) int64 shift matrix.
     """
     if width < 0 or width > 64:
         raise ValueError(f"width {width} out of range [0, 64]")
     n = len(values)
     if n == 0 or width == 0:
         return b""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
+    v = np.ascontiguousarray(values, dtype="<u8")
     out_parts = []
     for off in range(0, n, _BLOCK):
         blk = v[off : off + _BLOCK]
-        bits = ((blk[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        rows = blk.view(np.uint8).reshape(len(blk), 8)
+        bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :width]
         out_parts.append(np.packbits(bits.ravel(), bitorder="little"))
-    return b"".join(p.tobytes() for p in out_parts) if len(out_parts) > 1 else out_parts[0].tobytes()
+    if len(out_parts) == 1:
+        return out_parts[0].tobytes()
+    # blocks are bit-contiguous only if _BLOCK*width % 8 == 0 (true:
+    # _BLOCK is a power of two >= 8)
+    return b"".join(p.tobytes() for p in out_parts)
 
 
 def unpack_bits(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
@@ -55,15 +63,16 @@ def unpack_bits(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
-    bits = np.unpackbits(raw, count=n * width, bitorder="little")
-    shifts = np.arange(width, dtype=np.uint64)
-    out = np.empty(n, dtype=np.uint64)
+    out = np.empty(n, dtype="<u8")
+    out_u8 = out.view(np.uint8).reshape(n, 8)
     for off in range(0, n, _BLOCK):
-        blk = bits[off * width : (off + min(_BLOCK, n - off)) * width]
-        m = len(blk) // width
-        out[off : off + m] = (
-            blk.reshape(m, width).astype(np.uint64) << shifts
-        ).sum(axis=1, dtype=np.uint64)
+        m = min(_BLOCK, n - off)
+        bits = np.unpackbits(
+            raw[off * width // 8 :], count=m * width, bitorder="little"
+        ).reshape(m, width)
+        row_bytes = np.packbits(bits, axis=1, bitorder="little")
+        out_u8[off : off + m, : row_bytes.shape[1]] = row_bytes
+        out_u8[off : off + m, row_bytes.shape[1] :] = 0
     return out
 
 
