@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -141,9 +140,6 @@ def run_encode(
 
 def run_decode(spark, chunks_path: str) -> float:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
-
-    from cpp_parquet_spark.datagen import INPUT_COLUMNS
     from cpp_parquet_spark.engine import decode_dataframe
 
     schema = spark.read.parquet(f"{WORK}/input.parquet").schema

@@ -16,7 +16,7 @@ late-data-handling example.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cpp_parquet_spark.lineage import EncodeJob
