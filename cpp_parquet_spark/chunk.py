@@ -30,7 +30,7 @@ from cpp_parquet_spark.schema_plan import ColumnPlan
 
 MAGIC = b"SGC1"
 
-CODECS = ("plain", "dict", "rle", "fsst", "for", "lined")
+CODECS = ("plain", "dict", "rle", "fsst", "for", "lined", "delta")
 _CODEC_ID = {name: i for i, name in enumerate(CODECS)}
 
 
@@ -51,12 +51,12 @@ def _encode_values(values: pa.Array, codec: str, physical: str) -> bytes:
         if physical != "BYTE_ARRAY":
             raise ValueError("lined only applies to BYTE_ARRAY columns")
         return encode_lined(values)
-    if codec == "for":
-        from cpp_parquet_spark.kernels.forpack import encode_for
+    if codec in ("for", "delta"):
+        from cpp_parquet_spark.kernels.forpack import encode_delta, encode_for
 
         if pa.types.is_timestamp(values.type) or pa.types.is_date(values.type):
             values = values.cast(pa.int64())
-        return encode_for(values)
+        return encode_for(values) if codec == "for" else encode_delta(values)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -73,10 +73,10 @@ def _decode_values(buf: bytes, n: int, codec: str, physical: str, arrow_type: pa
         from cpp_parquet_spark.kernels.lined import decode_lined
 
         return decode_lined(buf, n, arrow_type)
-    if codec == "for":
-        from cpp_parquet_spark.kernels.forpack import decode_for
+    if codec in ("for", "delta"):
+        from cpp_parquet_spark.kernels.forpack import decode_delta, decode_for
 
-        arr = decode_for(buf, n)
+        arr = decode_for(buf, n) if codec == "for" else decode_delta(buf, n)
         return pa.array(arr).cast(arrow_type)
     raise ValueError(f"unknown codec {codec}")
 

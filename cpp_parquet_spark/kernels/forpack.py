@@ -45,3 +45,33 @@ def encoded_for_size(n: int, lo: int, hi: int) -> int:
     """Predicted size without encoding (selector fast path)."""
     width = int(hi - lo).bit_length()
     return 9 + (n * width + 7) // 8
+
+
+def encode_delta(values: pa.Array | np.ndarray) -> bytes:
+    """Delta + frame-of-reference: first value i64, then FOR over the
+    consecutive differences — near-zero bits/value for monotone ids
+    (FIXTURES.md F8 row_id case).
+
+    Layout: i64 first (LE) | FOR blob of diffs (n-1 values).
+    """
+    v = np.asarray(values)
+    if v.dtype.kind not in "iu":
+        raise TypeError(f"delta needs integers, got {v.dtype}")
+    v = v.astype(np.int64, copy=False)
+    n = len(v)
+    first = int(v[0]) if n else 0
+    out = bytearray(first.to_bytes(8, "little", signed=True))
+    out += encode_for(np.diff(v)) if n > 1 else encode_for(np.zeros(0, np.int64))
+    return bytes(out)
+
+
+def decode_delta(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    first = int.from_bytes(buf[:8], "little", signed=True)
+    diffs = decode_for(buf[8:], n - 1)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    np.cumsum(diffs, out=out[1:])
+    out[1:] += first
+    return out

@@ -34,6 +34,7 @@ class ColumnStats:
     byte_entropy: float  # BYTE_ARRAY only (bits/byte on sample); 0 otherwise
     int_range_bits: int  # integer types only; width of (max-min)
     avg_newlines: float = 0.0  # BYTE_ARRAY only; newlines per value
+    sorted_prefix: bool = False  # integers only; contiguous prefix monotone
 
 
 def _sample(values: pa.Array) -> pa.Array:
@@ -67,14 +68,21 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
             p = hist[hist > 0] / len(raw)
             entropy = float(-(p * np.log2(p)).sum())
             avg_nl = float(hist[10] / len(raw) * avg_len)
-    elif physical in ("INT32", "INT64"):
+        return ColumnStats(n, card, runs, avg_len, entropy, 0, avg_nl)
+    sorted_prefix = False
+    if physical in ("INT32", "INT64"):
         t = sample
         if pa.types.is_timestamp(t.type) or pa.types.is_date(t.type):
             t = t.cast(pa.int64())
         mm = pc.min_max(t)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         range_bits = int(hi - lo).bit_length() if hi is not None else 0
-    return ColumnStats(n, card, runs, avg_len, entropy, range_bits, avg_nl)
+        prefix = values.slice(0, min(n, _SAMPLE_ROWS))
+        if pa.types.is_timestamp(prefix.type) or pa.types.is_date(prefix.type):
+            prefix = prefix.cast(pa.int64())
+        pv = np.asarray(prefix)
+        sorted_prefix = bool(len(pv) > 2 and (np.diff(pv) >= 0).all())
+    return ColumnStats(n, card, runs, avg_len, entropy, range_bits, avg_nl, sorted_prefix)
 
 
 def shortlist(stats: ColumnStats, physical: str) -> list[str]:
@@ -104,6 +112,8 @@ def shortlist(stats: ColumnStats, physical: str) -> list[str]:
             cands.append("rle")
         if low_card:
             cands.append("dict")
+        if s.sorted_prefix:
+            cands.append("delta")
         type_bits = 32 if physical == "INT32" else 64
         if s.int_range_bits < type_bits - 8:
             cands.append("for")

@@ -214,3 +214,28 @@ def test_selector_unique_lines_picks_fsst():
     # substring symbols can
     vals = [f"import os\nclass Foo{i}:\n    def run(self):\n        return {i}\n" for i in range(3000)]
     assert select_codec(pa.array(vals), "BYTE_ARRAY") == "fsst"
+
+
+def test_delta_monotone_ids():
+    from cpp_parquet_spark.kernels.forpack import decode_delta, encode_delta
+
+    v = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+    enc = encode_delta(v)
+    np.testing.assert_array_equal(decode_delta(enc, len(v)), v)
+    assert len(enc) < len(v) // 2  # near-zero bits per value
+
+
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_delta_property(vals):
+    from cpp_parquet_spark.kernels.forpack import decode_delta, encode_delta
+
+    v = np.array(vals, dtype=np.int64)
+    np.testing.assert_array_equal(decode_delta(encode_delta(v), len(v)), v)
+
+
+def test_selector_monotone_picks_delta():
+    from cpp_parquet_spark.selector import select_codec
+
+    arr = pa.array((np.arange(20000) * 3 + 10**9).tolist(), type=pa.int64())
+    assert select_codec(arr, "INT64") == "delta"
