@@ -30,7 +30,7 @@ from cpp_parquet_spark.schema_plan import ColumnPlan
 
 MAGIC = b"SGC1"
 
-CODECS = ("plain", "dict", "rle", "fsst", "for", "lined", "delta")
+CODECS = ("plain", "dict", "rle", "fsst", "for", "lined", "delta", "alpha")
 _CODEC_ID = {name: i for i, name in enumerate(CODECS)}
 
 
@@ -51,6 +51,12 @@ def _encode_values(values: pa.Array, codec: str, physical: str) -> bytes:
         if physical != "BYTE_ARRAY":
             raise ValueError("lined only applies to BYTE_ARRAY columns")
         return encode_lined(values)
+    if codec == "alpha":
+        from cpp_parquet_spark.kernels.alpha import encode_alpha
+
+        if physical != "BYTE_ARRAY":
+            raise ValueError("alpha only applies to BYTE_ARRAY columns")
+        return encode_alpha(values)
     if codec in ("for", "delta"):
         from cpp_parquet_spark.kernels.forpack import encode_delta, encode_for
 
@@ -73,6 +79,10 @@ def _decode_values(buf: bytes, n: int, codec: str, physical: str, arrow_type: pa
         from cpp_parquet_spark.kernels.lined import decode_lined
 
         return decode_lined(buf, n, arrow_type)
+    if codec == "alpha":
+        from cpp_parquet_spark.kernels.alpha import decode_alpha
+
+        return decode_alpha(buf, n, arrow_type)
     if codec in ("for", "delta"):
         from cpp_parquet_spark.kernels.forpack import decode_delta, decode_for
 

@@ -104,7 +104,13 @@ def _encode_table(
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         sh = shred(arr, plan)
         codec = select_codec(sh.values, plan.physical, mode=codec_mode)
-        blob, meta = serialize_chunk(sh, codec)
+        try:
+            blob, meta = serialize_chunk(sh, codec)
+        except ValueError:
+            # a sample-based codec assumption failed on the full chunk
+            # (e.g. alpha alphabet overflow) — PLAIN always works
+            codec = "plain"
+            blob, meta = serialize_chunk(sh, codec)
         rows.append(
             (
                 part_id,

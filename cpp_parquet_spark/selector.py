@@ -35,6 +35,7 @@ class ColumnStats:
     int_range_bits: int  # integer types only; width of (max-min)
     avg_newlines: float = 0.0  # BYTE_ARRAY only; newlines per value
     sorted_prefix: bool = False  # integers only; contiguous prefix monotone
+    distinct_bytes: int = 256  # BYTE_ARRAY only; alphabet size on sample
 
 
 def _sample(values: pa.Array) -> pa.Array:
@@ -57,6 +58,7 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
     runs = run_count(values.slice(0, min(n, _SAMPLE_ROWS)))
     avg_len = entropy = avg_nl = 0.0
     range_bits = 0
+    distinct_bytes = 256
     if physical == "BYTE_ARRAY":
         lens = pc.binary_length(sample)
         avg_len = float(pc.mean(lens).as_py() or 0.0)
@@ -68,7 +70,8 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
             p = hist[hist > 0] / len(raw)
             entropy = float(-(p * np.log2(p)).sum())
             avg_nl = float(hist[10] / len(raw) * avg_len)
-        return ColumnStats(n, card, runs, avg_len, entropy, 0, avg_nl)
+            distinct_bytes = int((hist > 0).sum())
+        return ColumnStats(n, card, runs, avg_len, entropy, 0, avg_nl, False, distinct_bytes)
     sorted_prefix = False
     if physical in ("INT32", "INT64"):
         t = sample
@@ -99,6 +102,10 @@ def shortlist(stats: ColumnStats, physical: str) -> list[str]:
             cands.append("rle")
         if low_card:
             cands.append("dict")
+        # tiny alphabet (hex hashes): near-entropy bit packing at
+        # memory speed; the full-chunk alphabet is re-checked at encode
+        if s.distinct_bytes <= 16 and not low_card:
+            cands.append("alpha")
         # multi-line text: line-dictionary is both the fastest and the
         # strongest codec when lines repeat (source code)
         if s.avg_newlines >= 2 and not low_card:
@@ -147,12 +154,12 @@ def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
     # expensive codecs must clear a margin over PLAIN; a ~5% win (e.g.
     # fsst's bit-packed lengths vs PLAIN's u32 prefixes on random data)
     # doesn't pay for encode/decode cost
-    margin = {"fsst": 0.85, "lined": 0.9, "dict": 0.95, "rle": 0.95, "for": 0.98}
+    margin = {"fsst": 0.85, "lined": 0.9, "dict": 0.95, "rle": 0.95, "for": 0.98, "alpha": 0.95}
     best, best_size = "plain", base
     for c in cands:
         if c == "plain":
             continue
-        if c == "fsst" and best_size < base * 0.5:
+        if c == "fsst" and best_size < base * 0.55:
             continue  # a cheap codec already halved the data; skip the
             # expensive fsst trial — it rarely beats a 2x-winning lined/dict
         try:

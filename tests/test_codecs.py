@@ -239,3 +239,44 @@ def test_selector_monotone_picks_delta():
 
     arr = pa.array((np.arange(20000) * 3 + 10**9).tolist(), type=pa.int64())
     assert select_codec(arr, "INT64") == "delta"
+
+
+def test_alpha_hex_commits():
+    import hashlib
+    import time as _t
+
+    from cpp_parquet_spark.kernels.alpha import decode_alpha, encode_alpha
+
+    vals = [hashlib.sha1(f"c{i}".encode()).hexdigest() for i in range(20000)]
+    arr = pa.array(vals, type=pa.string())
+    enc = encode_alpha(arr)
+    out = decode_alpha(enc, len(vals), pa.string())
+    assert out.to_pylist() == vals
+    ps = plain_size(arr, "BYTE_ARRAY")
+    assert len(enc) < ps * 0.52  # ~2x: 4 bits per hex char
+
+
+def test_alpha_edge_cases():
+    from cpp_parquet_spark.kernels.alpha import decode_alpha, encode_alpha
+
+    for vals in ([], [""], ["a"], ["ab", "", "ba", "aabb"]):
+        arr = pa.array(vals, type=pa.string())
+        out = decode_alpha(encode_alpha(arr), len(vals), pa.string())
+        assert out.to_pylist() == vals, vals
+
+
+def test_alpha_rejects_wide_alphabet():
+    from cpp_parquet_spark.kernels.alpha import encode_alpha
+
+    arr = pa.array(["the quick brown fox jumps over"], type=pa.string())
+    with pytest.raises(ValueError):
+        encode_alpha(arr)
+
+
+def test_selector_hex_picks_alpha():
+    import hashlib
+
+    from cpp_parquet_spark.selector import select_codec
+
+    vals = [hashlib.sha1(f"c{i}".encode()).hexdigest() for i in range(5000)]
+    assert select_codec(pa.array(vals), "BYTE_ARRAY") == "alpha"
