@@ -150,24 +150,38 @@ def _q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(docs, threshold=0.8)
 
 
+def _planted():
+    """Filter to the deterministically planted duplicate pairs."""
+    return (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("id_a") % 25 == 0)
+
+
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair recall oracle: the planted exact copies have
+    identical minhash signatures, so every band collides and
+    est_jaccard = 1.0 — the emitted planted set must equal the planted
+    set exactly (a miss fails the row count; a wrong estimate fails the
+    hash)."""
     from cpp_parquet_spark.pipeline.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dup = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
-    return minhash_lsh_pairs(docs.unionByName(dup), threshold=0.9)
+    pairs = minhash_lsh_pairs(docs.unionByName(dup), threshold=0.9)
+    return pairs.filter(_planted()).select("id_a", "id_b", "est_jaccard")
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair recall oracle: identical docs ⇒ identical simhash ⇒
+    hamming 0 through the pigeonhole blocking."""
     from cpp_parquet_spark.pipeline.dedup import simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dup = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
-    return simhash_pairs(docs.unionByName(dup), max_hamming=3)
+    pairs = simhash_pairs(docs.unionByName(dup), max_hamming=3)
+    return pairs.filter(_planted()).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,9 +208,29 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair recall oracle: identical vectors give identical
+    hyperplane signs in every band, so the b×r banding always emits
+    them; cosine is the exact integerized formula (bit-identical in
+    DuckDB)."""
     from cpp_parquet_spark.pipeline.similarity import embedding_near_dup_lsh
 
-    return embedding_near_dup_lsh(_emb_with_planted(spark, sf_dir), threshold=0.9)
+    pairs = embedding_near_dup_lsh(_emb_with_planted(spark, sf_dir), threshold=0.9)
+    return pairs.filter(_planted()).select("id_a", "id_b", "cosine")
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.) — scalar summary view;
+    no SQL oracle (DuckDB lacks xxhash64), driver records rows-only."""
+    from cpp_parquet_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = winnow_fingerprints(docs)
+    return fp.select(
+        "id",
+        F.size("fingerprints").cast("long").alias("n_fps"),
+        F.array_min("fingerprints").alias("min_fp"),
+        F.array_max("fingerprints").alias("max_fp"),
+    )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +245,55 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 4).alias("f1"),
         F.round(F.element_at("features", 8), 4).alias("f8"),
+    )
+
+
+def _sink_roundtrip(df: DataFrame, tag: str) -> DataFrame:
+    """Write ``df`` as REAL .parquet files with our writer (distributed
+    sink), then read the directory back with Spark's own Parquet reader
+    — the independent-reader oracle the reference uses (parquet-dump
+    over every produced file, parquet-file-test.cc:37-50)."""
+    import tempfile
+
+    from cpp_parquet_spark.sink import write_parquet_dir
+
+    out = tempfile.mkdtemp(prefix=f"sgc_pq_{tag}_")
+    write_parquet_dir(df, out)  # collect(manifest) forces the write job
+    return df.sparkSession.read.parquet(out)
+
+
+def _q_parquet_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13/O15/O21 end-to-end: documents → real PAR1/Thrift-footer
+    Parquet part files (parquet_writer + sink) → Spark's reader."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _sink_roundtrip(docs.repartition(4, "lang"), "docs")
+
+
+def _q_parquet_file_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamps + doubles through the real-Parquet writer."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    back = _sink_roundtrip(orders.repartition(2), "orders")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_str"),
+        "o_orderpriority",
+    )
+
+
+def _q_parquet_file_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated columns (array<float>, 3-level LIST + rep/def levels)
+    through the real-Parquet writer."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    back = _sink_roundtrip(emb.repartition(2), "emb")
+    return back.select(
+        F.col("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.size("embedding").cast("long").alias("emb_len"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
     )
 
 
@@ -265,9 +348,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
         "decoded_join_revenue": _q_decoded_join_revenue,
+        # real Parquet wire output (O13/O15/O21 complete)
+        "parquet_file_roundtrip": _q_parquet_file_roundtrip,
+        "parquet_file_orders": _q_parquet_file_orders,
+        "parquet_file_embeddings": _q_parquet_file_embeddings,
     }
 
 
@@ -404,6 +492,48 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "dedup_minhash_lsh": """
+            SELECT doc_id AS id_a,
+                   doc_id + 1000000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM documents WHERE doc_id % 25 = 0
+        """,
+        "dedup_simhash": """
+            SELECT doc_id AS id_a,
+                   doc_id + 1000000 AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents WHERE doc_id % 25 = 0
+        """,
+        "embedding_near_dup_lsh": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS iv
+              FROM embeddings WHERE vec_id % 25 = 0
+            )
+            SELECT vec_id AS id_a,
+                   vec_id + 1000000 AS id_b,
+                   round(CAST(list_dot_product(iv, iv) AS DOUBLE)
+                         / (sqrt(CAST(list_dot_product(iv, iv) AS DOUBLE))
+                            * sqrt(CAST(list_dot_product(iv, iv) AS DOUBLE))), 6) AS cosine
+            FROM v
+        """,
+        "parquet_file_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "parquet_file_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate_str,
+                   o_orderpriority
+            FROM orders
+        """,
+        "parquet_file_embeddings": """
+            SELECT vec_id,
+                   label,
+                   len(embedding) AS emb_len,
+                   CAST(embedding[1] AS DOUBLE) AS first_val,
+                   CAST(embedding[-1] AS DOUBLE) AS last_val
+            FROM embeddings
         """,
         "embedding_near_dup": """
             WITH all_emb AS (

@@ -60,7 +60,10 @@ def _encode_values(values: pa.Array, codec: str, physical: str) -> bytes:
     if codec in ("for", "delta"):
         from cpp_parquet_spark.kernels.forpack import encode_delta, encode_for
 
-        if pa.types.is_timestamp(values.type) or pa.types.is_date(values.type):
+        if pa.types.is_date(values.type):
+            # pyarrow 16 has no date32->int64 cast; go via int32
+            values = values.cast(pa.int32()).cast(pa.int64())
+        elif pa.types.is_timestamp(values.type):
             values = values.cast(pa.int64())
         return encode_for(values) if codec == "for" else encode_delta(values)
     raise ValueError(f"unknown codec {codec}")
@@ -87,7 +90,10 @@ def _decode_values(buf: bytes, n: int, codec: str, physical: str, arrow_type: pa
         from cpp_parquet_spark.kernels.forpack import decode_delta, decode_for
 
         arr = decode_for(buf, n) if codec == "for" else decode_delta(buf, n)
-        return pa.array(arr).cast(arrow_type)
+        out = pa.array(arr)
+        if pa.types.is_date(arrow_type):  # no int64->date32 cast in pyarrow 16
+            return out.cast(pa.int32()).cast(arrow_type)
+        return out.cast(arrow_type)
     raise ValueError(f"unknown codec {codec}")
 
 

@@ -106,7 +106,7 @@ def _encode_table(
         codec = select_codec(sh.values, plan.physical, mode=codec_mode)
         try:
             blob, meta = serialize_chunk(sh, codec)
-        except ValueError:
+        except (ValueError, TypeError, pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
             # a sample-based codec assumption failed on the full chunk
             # (e.g. alpha alphabet overflow) — PLAIN always works
             codec = "plain"
@@ -190,9 +190,11 @@ def encode_dataframe(
                 if not len(piece):
                     continue
                 pval = int(parts[piece[0]])
-                if pending_rows and pval != cur_part:
-                    yield flush()
-                    chunk_id = 0
+                if pval != cur_part:
+                    if pending_rows:
+                        yield flush()
+                    chunk_id = 0  # chunk ids start at 0 per partition, even
+                    # when the previous part ended exactly on a flush
                 cur_part = pval
                 pending.append(data.slice(int(piece[0]), len(piece)))
                 pending_rows += len(piece)

@@ -54,6 +54,10 @@ def _tokens_from_values(values: pa.Array) -> tuple[np.ndarray, int]:
     n = len(lengths)
     data_len = int(lengths.sum())
     total = data_len + max(n - 1, 0)
+    if total >= 1 << 31:
+        # position arithmetic below is int32; a >=2 GiB chunk payload
+        # would wrap silently — refuse so the engine falls back to plain
+        raise ValueError("fsst chunk payload exceeds int32 positions")
     toks = np.full(total, _SENTINEL, dtype=np.int16)
     if data_len:
         lengths32 = lengths.astype(np.int32)

@@ -78,12 +78,33 @@ def decode_lined(buf: bytes, n: int, arrow_type: pa.DataType) -> pa.Array:
     total_lines = int(counts.sum())
     indices = decode_hybrid(mv[pos : pos + ilen], width, total_lines).astype(np.int64)
 
-    flat = dictionary.take(pa.array(indices))
-    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-    # binary_join only has (list<string>, string) kernels in pyarrow 16;
-    # chunk payloads are well under int32 offsets
-    lists = pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int32), type=pa.int32()), flat.cast(pa.string())
+    flat = dictionary.take(pa.array(indices))  # large_binary lines, in doc order
+    # Rebuild the payload in *binary* with numpy (pc.binary_join would
+    # force a utf8 cast, which raises on non-UTF-8 bytes — lined must
+    # round-trip binary columns losslessly).
+    bufs = flat.buffers()
+    loff = np.frombuffer(bufs[1], dtype=np.int64)[flat.offset : flat.offset + total_lines + 1]
+    payload = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+    line_lens = loff[1:] - loff[:-1]
+    last_line = np.cumsum(counts) - 1  # index of each doc's final line
+    sep_after = np.ones(total_lines, dtype=bool)
+    sep_after[last_line] = False
+    out_lens = line_lens + sep_after  # each non-final line emits a '\n'
+    total = int(out_lens.sum())
+    starts_out = np.cumsum(out_lens) - out_lens
+    out = np.empty(total, dtype=np.uint8)
+    out[(starts_out + line_lens)[sep_after]] = 10
+    payload_total = int(line_lens.sum())
+    if payload_total:
+        cum = np.cumsum(line_lens) - line_lens
+        within = np.arange(payload_total, dtype=np.int64) - np.repeat(cum, line_lens)
+        out[np.repeat(starts_out, line_lens) + within] = payload[
+            np.repeat(loff[:-1], line_lens) + within
+        ]
+    doc_offsets = np.concatenate(([0], (starts_out + out_lens)[last_line])).astype(np.int64)
+    joined = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(doc_offsets.tobytes()), pa.py_buffer(out.tobytes())],
     )
-    joined = pc.binary_join(lists, "\n")
     return joined.cast(arrow_type)

@@ -1,16 +1,21 @@
 """PLAIN value encoding — the reference's only data encoding.
 
 Fixed-width values are raw little-endian bytes (AddRecords memcpy,
-parquet-column.cc:164-186); BYTE_ARRAY values are a 4-byte LE length
-prefix followed by the bytes (AddVariableLengthByteArray,
-parquet-column.cc:238-258).  Booleans are stored one byte per value,
+parquet-column.cc:164-186).  Booleans are stored one byte per value,
 matching the reference (parquet-column.cc:282-284 — its
 "TODO(nealsid): fix this" not-bit-packed representation *is* the
 baseline layout we must not exceed).
 
-PLAIN is both a real codec and the size baseline: ``plain_size`` gives
-the byte count the reference writer would produce for the same values,
-which the north rule requires our chosen codecs to beat or match.
+BYTE_ARRAY: the reference interleaves a 4-byte LE length prefix with
+each value (AddVariableLengthByteArray, parquet-column.cc:238-258).
+That layout forces a sequential scan to decode (each prefix sits at a
+data-dependent position).  The SGC1-internal layout instead stores a
+FOR-encoded *lengths stream* followed by the contiguous payload — the
+same bytes, one cumsum to rebuild offsets, zero-copy decode.  The
+reference's interleaved layout is still produced where it must be: in
+``parquet_writer`` (real Parquet PLAIN pages) and in ``plain_size``,
+the byte-accounting function the compression baseline is measured
+against (Σ(4+len) per ColumnDataSizeInBytes, parquet-column.cc:367-381).
 
 Unlike the reference we allow zero-length byte arrays (it rejects them,
 parquet-column.cc:246-248); Arrow data contains empty strings.
@@ -57,6 +62,55 @@ def encode_plain(values: pa.Array, physical: str) -> bytes:
         return _values_np(values, physical).tobytes() if n else b""
     if n == 0:
         return b""
+    from cpp_parquet_spark.kernels.forpack import encode_for
+
+    lengths, payload = _byte_components(values)
+    len_blob = encode_for(lengths)
+    out = bytearray(len(len_blob).to_bytes(4, "little"))
+    out += len_blob
+    out += payload.tobytes()
+    return bytes(out)
+
+
+def decode_plain(buf: bytes, n: int, physical: str, arrow_type: pa.DataType) -> pa.Array:
+    if physical != "BYTE_ARRAY":
+        arr = np.frombuffer(buf, dtype=_FIXED_NP[physical], count=n)
+        if pa.types.is_date(arrow_type):  # no int64->date32 cast path needed:
+            return pa.array(arr, type=pa.int32()).cast(arrow_type)
+        if pa.types.is_timestamp(arrow_type):
+            return pa.array(arr).cast(arrow_type)
+        if pa.types.is_boolean(arrow_type):
+            return pa.array(arr.astype(bool))
+        return pa.array(arr, type=arrow_type)
+    if n == 0:
+        return pa.array([], type=arrow_type)
+    from cpp_parquet_spark.kernels.forpack import decode_for
+
+    mv = memoryview(buf)
+    ll = int.from_bytes(mv[0:4], "little")
+    lengths = decode_for(bytes(mv[4 : 4 + ll]), n)
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+    out = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(bytes(mv[4 + ll :]))],
+    )
+    return out.cast(arrow_type)
+
+
+def encode_plain_parquet(values: pa.Array, physical: str) -> bytes:
+    """The reference/Parquet *wire* PLAIN layout: each BYTE_ARRAY value
+    is a 4-byte LE length prefix + bytes, interleaved
+    (AddVariableLengthByteArray, parquet-column.cc:238-258).  Used by
+    ``parquet_writer`` for real data pages; ``len == plain_size`` by
+    construction.  Fixed-width types are identical to
+    :func:`encode_plain`.
+    """
+    n = len(values)
+    if physical != "BYTE_ARRAY":
+        return _values_np(values, physical).tobytes() if n else b""
+    if n == 0:
+        return b""
     lengths, payload = _byte_components(values)
     data_len = int(lengths.sum())
     total = 4 * n + data_len
@@ -70,35 +124,6 @@ def encode_plain(values: pa.Array, physical: str) -> bytes:
         tgt = np.repeat(starts + 4 - cum, lengths) + np.arange(data_len, dtype=np.int64)
         out[tgt] = payload
     return out.tobytes()
-
-
-def decode_plain(buf: bytes, n: int, physical: str, arrow_type: pa.DataType) -> pa.Array:
-    if physical != "BYTE_ARRAY":
-        arr = np.frombuffer(buf, dtype=_FIXED_NP[physical], count=n)
-        if pa.types.is_timestamp(arrow_type) or pa.types.is_date(arrow_type):
-            return pa.array(arr).cast(arrow_type)
-        if pa.types.is_boolean(arrow_type):
-            return pa.array(arr.astype(bool))
-        return pa.array(arr, type=arrow_type)
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    lengths = np.empty(n, dtype=np.int64)
-    mv = memoryview(buf)
-    pos = 0
-    # length prefixes are at data-dependent positions: sequential scan
-    for i in range(n):
-        lengths[i] = int.from_bytes(mv[pos : pos + 4], "little")
-        pos += 4 + lengths[i]
-    starts = 4 * (np.arange(n, dtype=np.int64) + 1) + np.cumsum(lengths) - lengths
-    data_len = int(lengths.sum())
-    src = np.repeat(starts, lengths) + (
-        np.arange(data_len, dtype=np.int64) - np.repeat(np.cumsum(lengths) - lengths, lengths)
-    )
-    payload = raw[src]
-    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
-    out = pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())]
-    )
-    return out.cast(arrow_type)
 
 
 def plain_size(values: pa.Array, physical: str) -> int:

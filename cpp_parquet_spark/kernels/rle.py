@@ -123,4 +123,9 @@ def decode_hybrid(buf: bytes | memoryview, bit_width: int, n: int) -> np.ndarray
             take = min(count, n - filled)
             out[filled : filled + take] = value
             filled += take
+        if count == 0:
+            # zero-length run = corrupt stream; fail fast instead of
+            # spinning (an executor hung on garbage is worse than an
+            # error at 1000-executor scale)
+            raise ValueError("corrupt hybrid-RLE stream: zero-length run")
     return out

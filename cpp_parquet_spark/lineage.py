@@ -99,8 +99,12 @@ class EncodeJob:
 
     def _clean_orphans(self, completed: set[int]) -> list[int]:
         """Drop chunk dirs written by a crashed attempt (data present,
-        lineage missing) so resume re-encodes them exactly once."""
+        lineage missing) so resume re-encodes them exactly once.  Stale
+        staging dirs (crash before publish) are dropped too."""
         dropped = []
+        for name in os.listdir(self.base_dir) if os.path.isdir(self.base_dir) else []:
+            if name.startswith("staging-"):
+                shutil.rmtree(os.path.join(self.base_dir, name))
         if not os.path.isdir(self.chunks_dir):
             return dropped
         for name in os.listdir(self.chunks_dir):
@@ -133,19 +137,32 @@ class EncodeJob:
         if only_parts is not None:
             pending = pending.filter(F.col("_part").isin(*only_parts))
 
-        shuffled = pending.repartition(self.num_parts, F.col("_part")).sortWithinPartitions("_part")
-        chunks = encode_dataframe(shuffled, codec=self.codec, chunk_rows=self.chunk_rows, part_col="_part")
-        chunks.write.mode("append").partitionBy("part_id").parquet(self.chunks_dir)
-
-        # derive lineage rows from what was just written
-        written = spark.read.parquet(self.chunks_dir)
-        if completed:
-            written = written.filter(~F.col("part_id").isin(*completed))
         attempt = 1
         lin = self.lineage(spark)
         if lin is not None:
             prev = lin.agg(F.max("attempt")).collect()[0][0]
             attempt = int(prev or 0) + 1
+
+        # Iceberg-style snapshot staging: write this attempt's chunks to
+        # a staging dir, derive lineage rows by scanning *only* the
+        # staged files (never the committed store — on a 10^12-file
+        # store a full rescan per resume is the scaling bug), then
+        # publish by renaming part dirs into the chunk store.
+        shuffled = pending.repartition(self.num_parts, F.col("_part")).sortWithinPartitions("_part")
+        chunks = encode_dataframe(shuffled, codec=self.codec, chunk_rows=self.chunk_rows, part_col="_part")
+        staging = os.path.join(self.base_dir, f"staging-{self.snapshot_id}-a{attempt}")
+        chunks.write.mode("overwrite").partitionBy("part_id").parquet(staging)
+
+        staged_parts = [n for n in os.listdir(staging) if n.startswith("part_id=")]
+        if not staged_parts:  # nothing pending: no-op resume
+            shutil.rmtree(staging)
+            return {
+                "committed_partitions": 0,
+                "skipped_partitions": len(completed),
+                "orphans_cleaned": orphans,
+                "attempt": attempt,
+            }
+        written = spark.read.parquet(staging)
         new_lineage = (
             written.groupBy("part_id")
             .agg(
@@ -169,10 +186,29 @@ class EncodeJob:
                 F.lit(time.strftime("%Y-%m-%dT%H:%M:%S")).alias("committed_at"),
             )
         )
-        n_new = new_lineage.count()
-        new_lineage.write.mode("append").parquet(self.lineage_dir)
+        # materialize the (tiny: <= num_parts rows) lineage before the
+        # staged files move out from under the lazy plan
+        lineage_rows = new_lineage.collect()
+        lineage_schema = new_lineage.schema
+
+        # publish: move staged part dirs into the chunk store, then
+        # commit lineage; a crash in between leaves orphans that
+        # _clean_orphans drops on the next resume
+        os.makedirs(self.chunks_dir, exist_ok=True)
+        for name in os.listdir(staging):
+            if not name.startswith("part_id="):
+                continue
+            dst = os.path.join(self.chunks_dir, name)
+            if os.path.isdir(dst):  # pragma: no cover - crash-race leftover
+                shutil.rmtree(dst)
+            os.replace(os.path.join(staging, name), dst)
+        shutil.rmtree(staging)
+        if lineage_rows:
+            spark.createDataFrame(lineage_rows, schema=lineage_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.lineage_dir)
         return {
-            "committed_partitions": n_new,
+            "committed_partitions": len(lineage_rows),
             "skipped_partitions": len(completed),
             "orphans_cleaned": orphans,
             "attempt": attempt,

@@ -1,0 +1,321 @@
+"""Real Apache Parquet file writer: PAR1 magic + v1 data pages + Thrift
+compact footer.
+
+This completes the reference's actual deliverable — a file any
+independent Parquet reader can parse.  The reference writes it with
+ParquetFile::Flush (parquet-file.cc:118-177: pages per column, then a
+``FileMetaData`` footer + u32 length + "PAR1") and frames every page
+with a Thrift ``PageHeader`` (parquet-column.cc:383-455); its didactic
+raw-Thrift recipe is examples/parquet-file-writer.cc:49-159.  Tests
+mirror parquet-file-test.cc:37-50: every produced file must be parsed
+by an *independent* reader (pyarrow, DuckDB, Spark).
+
+Differences from the reference, by design:
+  * multiple row groups (the reference's Flush writes exactly one);
+  * Parquet-conformant PLAIN booleans (bit-packed LSB-first; the
+    reference writes one byte per value, parquet-column.cc:282-284,
+    which real readers reject);
+  * timestamps default to INT64 micros with a TIMESTAMP logical type;
+    the reference's legacy INT96 layout (parquet-column.cc:269-288) is
+    available opt-in via ``int96_timestamps=True``;
+  * the *correct* Dremel level maxima from schema_plan (the reference
+    over-counts repetition levels, avro-schema-walker.cc:244-246).
+
+Level streams are RLE/bit-packed hybrid with a u32 length prefix
+(exactly EncodeLevels → Flush framing, parquet-column.cc:307-335,
+436-443); data values are wire PLAIN (encode_plain_parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from cpp_parquet_spark import thrift_compact as tc
+from cpp_parquet_spark.kernels import rle
+from cpp_parquet_spark.kernels.bitpack import bit_width_for
+from cpp_parquet_spark.kernels.levels import ShreddedColumn, shred
+from cpp_parquet_spark.kernels.plain import encode_plain_parquet
+from cpp_parquet_spark.schema_plan import ColumnPlan, plan_from_schema
+
+MAGIC = b"PAR1"
+
+# parquet.thrift enums (public format spec)
+_T_BOOLEAN, _T_INT32, _T_INT64, _T_INT96, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
+_PHYS_CODE = {
+    "BOOLEAN": _T_BOOLEAN,
+    "INT32": _T_INT32,
+    "INT64": _T_INT64,
+    "FLOAT": _T_FLOAT,
+    "DOUBLE": _T_DOUBLE,
+    "BYTE_ARRAY": _T_BYTE_ARRAY,
+}
+_REQUIRED, _OPTIONAL, _REPEATED = 0, 1, 2
+_ENC_PLAIN, _ENC_RLE = 0, 3
+_PAGE_DATA = 0
+_CODEC_UNCOMPRESSED = 0
+_CONV_UTF8, _CONV_LIST, _CONV_DATE, _CONV_TS_MICROS = 0, 3, 6, 10
+_CONV_INT = {"int8": 15, "int16": 16, "uint8": 11, "uint16": 12, "uint32": 13, "uint64": 14}
+
+
+def _logical(member_fid: int, member: bytes = tc.struct()) -> bytes:
+    """LogicalType union with one member set."""
+    return tc.struct(tc.f_struct(member_fid, member))
+
+
+def _logical_timestamp(adjusted_to_utc: bool) -> bytes:
+    micros = tc.struct(tc.f_struct(2, tc.struct()))  # TimeUnit{2: MICROS{}}
+    ts = tc.struct(tc.f_bool(1, adjusted_to_utc), tc.f_struct(2, micros))
+    return _logical(8, ts)  # LogicalType{8: TIMESTAMP}
+
+
+def _leaf_type_info(t: pa.DataType) -> tuple[int, int | None, bytes | None]:
+    """(parquet type code, converted_type or None, LogicalType bytes or None)."""
+    if pa.types.is_boolean(t):
+        return _T_BOOLEAN, None, None
+    name = str(t)
+    if name in _CONV_INT:
+        return (_T_INT32 if name in ("int8", "int16", "uint8", "uint16") else _T_INT64), _CONV_INT[name], None
+    if pa.types.is_int32(t):
+        return _T_INT32, None, None
+    if pa.types.is_int64(t):
+        return _T_INT64, None, None
+    if pa.types.is_float32(t):
+        return _T_FLOAT, None, None
+    if pa.types.is_float64(t):
+        return _T_DOUBLE, None, None
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _T_BYTE_ARRAY, _CONV_UTF8, _logical(1)  # STRING
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return _T_BYTE_ARRAY, None, None
+    if pa.types.is_date32(t):
+        return _T_INT32, _CONV_DATE, _logical(6)  # DATE
+    if pa.types.is_timestamp(t):
+        utc = t.tz is not None
+        return _T_INT64, (_CONV_TS_MICROS if utc else None), _logical_timestamp(utc)
+    raise TypeError(f"unsupported parquet leaf type: {t}")
+
+
+def _schema_elements(
+    schema: pa.Schema, int96_timestamps: bool = False
+) -> tuple[list[bytes], list[list[str]]]:
+    """Thrift SchemaElement list (DFS preorder, root first) + the
+    path_in_schema of each leaf, in the same leaf order as
+    plan_from_schema (both are DFS preorder over leaves)."""
+    elems: list[bytes] = [tc.struct(tc.f_binary(4, "schema"), tc.f_i32(5, len(schema)))]
+    leaf_paths: list[list[str]] = []
+
+    def walk(f: pa.Field, path: list[str]) -> None:
+        rep = _OPTIONAL if f.nullable else _REQUIRED
+        t = f.type
+        if pa.types.is_struct(t):
+            elems.append(
+                tc.struct(tc.f_i32(3, rep), tc.f_binary(4, f.name), tc.f_i32(5, t.num_fields))
+            )
+            for child in t:
+                walk(child, path + [f.name])
+            return
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            # standard 3-level LIST group
+            elems.append(
+                tc.struct(
+                    tc.f_i32(3, rep),
+                    tc.f_binary(4, f.name),
+                    tc.f_i32(5, 1),
+                    tc.f_i32(6, _CONV_LIST),
+                    tc.f_struct(10, _logical(3)),  # LIST
+                )
+            )
+            elems.append(tc.struct(tc.f_i32(3, _REPEATED), tc.f_binary(4, "list"), tc.f_i32(5, 1)))
+            walk(t.value_field.with_name("element"), path + [f.name, "list"])
+            return
+        if int96_timestamps and pa.types.is_timestamp(t):
+            # legacy INT96 mode: bare physical type, no logical annotation
+            code, conv, logical = _T_INT96, None, None
+        else:
+            code, conv, logical = _leaf_type_info(t)
+        elems.append(
+            tc.struct(
+                tc.f_i32(1, code),
+                tc.f_i32(3, rep),
+                tc.f_binary(4, f.name),
+                tc.f_i32(6, conv) if conv is not None else None,
+                tc.f_struct(10, logical) if logical is not None else None,
+            )
+        )
+        leaf_paths.append(path + [f.name])
+
+    for f in schema:
+        walk(f, [])
+    return elems, leaf_paths
+
+
+_JULIAN_UNIX_EPOCH = 2440588
+_MICROS_PER_DAY = 86_400_000_000
+
+
+def _int96_from_timestamps(values: pa.Array) -> bytes:
+    """Legacy INT96 timestamps — the reference's timestamp physical type
+    (parquet-column.cc:269-288): 8 bytes nanos-of-day LE + 4 bytes
+    Julian day LE, 12 bytes per value."""
+    micros = np.asarray(values.cast(pa.timestamp(values.type.unit)).cast(pa.int64()))
+    unit = values.type.unit
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+    micros = micros * scale if unit != "ns" else micros // 1000
+    day = np.floor_divide(micros, _MICROS_PER_DAY)
+    nanos = (micros - day * _MICROS_PER_DAY) * 1000
+    out = np.zeros((len(micros), 12), dtype=np.uint8)
+    out[:, :8] = nanos.astype("<u8").view(np.uint8).reshape(-1, 8)
+    out[:, 8:] = (day + _JULIAN_UNIX_EPOCH).astype("<u4").view(np.uint8).reshape(-1, 4)
+    return out.tobytes()
+
+
+def _page_values_plain(values: pa.Array, physical: str, int96: bool = False) -> bytes:
+    if physical == "BOOLEAN":
+        # spec PLAIN booleans: bit-packed LSB-first (the reference's
+        # byte-per-value layout, parquet-column.cc:282-284, is invalid)
+        return np.packbits(np.asarray(values, dtype=bool), bitorder="little").tobytes()
+    if int96 and pa.types.is_timestamp(values.type):
+        return _int96_from_timestamps(values)
+    return encode_plain_parquet(values, physical)
+
+
+def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> bytes:
+    """One v1 data page: PageHeader + [u32+RLE rep][u32+RLE def] + PLAIN."""
+    body = bytearray()
+    if plan.max_rep > 0:
+        enc = rle.encode_hybrid(sh.rep_levels, bit_width_for(plan.max_rep))
+        body += len(enc).to_bytes(4, "little")
+        body += enc
+    if plan.max_def > 0:
+        enc = rle.encode_hybrid(sh.def_levels, bit_width_for(plan.max_def))
+        body += len(enc).to_bytes(4, "little")
+        body += enc
+    body += _page_values_plain(sh.values, plan.physical, int96=int96)
+    dph = tc.struct(
+        tc.f_i32(1, sh.num_entries),  # num_values incl. nulls
+        tc.f_i32(2, _ENC_PLAIN),
+        tc.f_i32(3, _ENC_RLE),  # definition_level_encoding
+        tc.f_i32(4, _ENC_RLE),  # repetition_level_encoding
+    )
+    header = tc.struct(
+        tc.f_i32(1, _PAGE_DATA),
+        tc.f_i32(2, len(body)),  # uncompressed_page_size
+        tc.f_i32(3, len(body)),  # compressed == uncompressed (no codec)
+        tc.f_struct(5, dph),
+    )
+    return header + bytes(body)
+
+
+class ParquetWriter:
+    """Streaming writer: open → write_row_group(table)* → close.
+
+    The reference buffers every column whole and flushes once
+    (parquet-file.cc:118-177); this writer flushes a row group per call
+    so executor memory stays bounded by the row-group size — the shape a
+    distributed sink needs.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        schema: pa.Schema,
+        created_by: str = "cpp-parquet-spark",
+        int96_timestamps: bool = False,
+    ):
+        self.path = path
+        self.schema = schema
+        self.int96 = int96_timestamps
+        self.plans = plan_from_schema(schema)
+        self._elems, self._leaf_paths = _schema_elements(schema, int96_timestamps)
+        assert len(self._leaf_paths) == len(self.plans)
+        self._created_by = created_by
+        self._row_groups: list[bytes] = []
+        self._num_rows = 0
+        self._f = open(path, "wb")
+        self._f.write(MAGIC)
+        self._pos = 4
+
+    def write_row_group(self, table: pa.Table) -> None:
+        n_rows = table.num_rows
+        if n_rows == 0:
+            return
+        chunks: list[bytes] = []
+        total = 0
+        for plan, fpath in zip(self.plans, self._leaf_paths):
+            col = table.column(plan.path[0])
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            sh = shred(arr, plan)
+            page = _data_page(sh, plan, int96=self.int96)
+            page_offset = self._pos
+            self._f.write(page)
+            self._pos += len(page)
+            total += len(page)
+            cmd = tc.struct(
+                tc.f_i32(
+                    1,
+                    _T_INT96
+                    if self.int96 and pa.types.is_timestamp(plan.arrow_type)
+                    else _PHYS_CODE[plan.physical],
+                ),
+                tc.f_list(2, tc.T_I32, [tc.zigzag_varint(_ENC_PLAIN), tc.zigzag_varint(_ENC_RLE)]),
+                tc.f_list(3, tc.T_BINARY, [tc.uvarint(len(p.encode())) + p.encode() for p in fpath]),
+                tc.f_i32(4, _CODEC_UNCOMPRESSED),
+                tc.f_i64(5, sh.num_entries),
+                tc.f_i64(6, len(page)),
+                tc.f_i64(7, len(page)),
+                tc.f_i64(9, page_offset),
+            )
+            chunks.append(tc.struct(tc.f_i64(2, page_offset), tc.f_struct(3, cmd)))
+        rg = tc.struct(
+            tc.f_list(1, tc.T_STRUCT, chunks),
+            tc.f_i64(2, total),
+            tc.f_i64(3, n_rows),
+        )
+        self._row_groups.append(rg)
+        self._num_rows += n_rows
+
+    def close(self) -> dict:
+        footer = tc.struct(
+            tc.f_i32(1, 1),  # format version
+            tc.f_list(2, tc.T_STRUCT, self._elems),
+            tc.f_i64(3, self._num_rows),
+            tc.f_list(4, tc.T_STRUCT, self._row_groups),
+            tc.f_binary(6, self._created_by),
+        )
+        self._f.write(footer)
+        self._f.write(len(footer).to_bytes(4, "little"))
+        self._f.write(MAGIC)
+        self._f.close()
+        return {
+            "path": self.path,
+            "rows": self._num_rows,
+            "row_groups": len(self._row_groups),
+            "bytes": os.path.getsize(self.path),
+        }
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self._f.closed:
+            if exc[0] is None:
+                self.close()
+            else:
+                self._f.close()
+
+
+def write_table(
+    table: pa.Table, path: str, row_group_rows: int = 1 << 20, int96_timestamps: bool = False
+) -> dict:
+    """Write an Arrow table as a real .parquet file (one call, N row groups)."""
+    w = ParquetWriter(path, table.schema, int96_timestamps=int96_timestamps)
+    try:
+        for start in range(0, max(table.num_rows, 1), row_group_rows):
+            w.write_row_group(table.slice(start, row_group_rows))
+        return w.close()
+    except BaseException:
+        w._f.close()
+        raise

@@ -166,17 +166,31 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         import numpy as np
         import pandas as pd
 
-        out = np.zeros(len(th_series), dtype=np.int64)
-        for i, arr in enumerate(th_series):
-            if arr is None or len(arr) == 0:
-                continue
-            v = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for j in np.flatnonzero(acc > 0):
-                sim |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sim.astype(np.int64))
+        n = len(th_series)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        # batch-wide fold: flatten every doc's hash list, segment-sum the
+        # bit matrix with one reduceat — no per-document bit loop
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in th_series), dtype=np.int64, count=n
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in th_series if a is not None and len(a)]
+        ).view(np.uint64)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int32
+        )  # [total, 64]
+        nz = lens > 0
+        counts = lens[nz]
+        starts = np.cumsum(counts) - counts
+        ones = np.add.reduceat(bits, starts, axis=0)  # [n_nz, 64]
+        majority = (2 * ones) > counts[:, None]  # acc>0 ⇔ ones > len/2
+        sim = (majority.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        out[nz] = sim.astype(np.int64)
         return pd.Series(out)
 
     return hashed.select("id", fold("th").alias("simhash"))

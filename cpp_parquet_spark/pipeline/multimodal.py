@@ -60,49 +60,85 @@ def synthetic_media(df_docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_features(payloads) -> "list":
+def _payload_components(arr):
+    """(lengths, contiguous payload bytes) of an Arrow binary column,
+    zero-copy; nulls behave as zero-length."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cpp_parquet_spark.kernels.plain import _byte_components
+
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - defensive
+        arr = arr.combine_chunks()
+    return _byte_components(arr)
+
+
+def _fake_features_batch(lengths, payload):
+    """Batch-wide byte-histogram features ([n, 16] float64) — one
+    bincount over the whole batch, no per-payload loop."""
     import numpy as np
 
-    feats = []
-    for p in payloads:
-        if p is None or len(p) == 0:
-            feats.append([0.0] * 16)
-            continue
-        raw = np.frombuffer(p, dtype=np.uint8)
-        hist = np.bincount(raw >> 4, minlength=16).astype(np.float64)
-        feats.append((hist / hist.sum()).round(6).tolist())
-    return feats
+    n = len(lengths)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    hist = (
+        np.bincount(doc * 16 + (payload >> 4).astype(np.int64), minlength=n * 16)
+        .reshape(n, 16)
+        .astype(np.float64)
+    )
+    tot = hist.sum(axis=1, keepdims=True)
+    return (hist / np.maximum(tot, 1.0)).round(6)  # empty payload -> zeros
 
 
 def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
-    """Decode + featurize payloads via mapInPandas (Arrow batches)."""
+    """Decode + featurize payloads via mapInArrow (zero-copy batches)."""
+    import pyarrow as pa
+
+    arrow_out = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("media_type", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("features", pa.list_(pa.float64())),
+        ]
+    )
 
     def run(batches):
-        import pandas as pd
+        import numpy as np
 
-        for pdf in batches:
+        for b in batches:
             if mode == "real":
                 # the seam where PIL / torchaudio / ffmpeg would decode;
                 # those libraries are not in this container
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg; use mode='fake'"
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "features": _fake_features(pdf["payload"].tolist()),
-                }
+            n = b.num_rows
+            lengths, payload = _payload_components(b.column("payload"))
+            feats = _fake_features_batch(lengths, payload)
+            features = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 16, pa.int32()),
+                pa.array(feats.ravel(), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("media_id").cast(pa.int64()),
+                    b.column("media_type").cast(pa.string()),
+                    pa.array(lengths, pa.int64()),
+                    features,
+                ],
+                schema=arrow_out,
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.mapInArrow(run, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """'Frame' sampling stub: slices the payload at even offsets — the
     real implementation would seek keyframes; the partitioning/UDF shape
-    is identical."""
+    is identical.  Fully vectorized: frames are gathered batch-wide and
+    emitted as a zero-copy Arrow binary column."""
+    import pyarrow as pa
+
     frame_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -110,19 +146,45 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
             StructField("frame", BinaryType(), False),
         ]
     )
+    arrow_out = pa.schema(
+        [("media_id", pa.int64()), ("frame_idx", pa.int32()), ("frame", pa.binary())]
+    )
 
     def run(batches):
-        import pandas as pd
+        import numpy as np
 
-        for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "frame": []}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                step = max(len(payload) // n_frames, 1)
-                for i in range(min(n_frames, len(payload))):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i)
-                    rows["frame"].append(bytes(payload[i * step : i * step + 16]))
-            yield pd.DataFrame(rows)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            lens, payload = _payload_components(b.column("payload"))
+            starts_doc = np.cumsum(lens) - lens
+            k = np.minimum(n_frames, lens)  # frames per payload
+            step = np.maximum(lens // n_frames, 1)
+            total = int(k.sum())
+            doc = np.repeat(np.arange(n, dtype=np.int64), k)
+            fidx = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+            fstart = fidx * step[doc]  # offset within payload
+            flen = np.minimum(16, lens[doc] - fstart)
+            cum = np.cumsum(flen) - flen
+            nbytes = int(flen.sum())
+            within = np.arange(nbytes, dtype=np.int64) - np.repeat(cum, flen)
+            frame_bytes = payload[np.repeat(starts_doc[doc] + fstart, flen) + within]
+            offsets = np.concatenate(([0], np.cumsum(flen))).astype(np.int32)
+            frames = pa.Array.from_buffers(
+                pa.binary(),
+                total,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(frame_bytes.tobytes())],
+            )
+            ids = np.asarray(b.column("media_id"), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[doc], pa.int64()),
+                    pa.array(fidx.astype(np.int32), pa.int32()),
+                    frames,
+                ],
+                schema=arrow_out,
+            )
 
     videos = media.filter(F.col("media_type") == "video/mp4")
-    return videos.mapInPandas(run, frame_schema)
+    return videos.mapInArrow(run, frame_schema)

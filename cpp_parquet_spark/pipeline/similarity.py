@@ -87,55 +87,106 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_buckets(
+def lsh_band_buckets(
     df: DataFrame,
-    n_planes: int = 12,
+    bands: int = 8,
+    rows_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane signature per vector (Arrow-batched numpy)."""
-    from pyspark.sql.pandas.functions import pandas_udf
+    """b×r random-hyperplane LSH signatures per vector (OR over bands,
+    AND within a band — same banding scheme as the minhash code).
 
-    planes = _hyperplanes(dim, n_planes, seed)
+    For cosine = 0.9 with b=8, r=4: per-bit collision p ≈ 0.857,
+    per-band p⁴ ≈ 0.54, overall 1-(1-p⁴)⁸ ≈ 0.998 recall — vs ~0.21
+    for the old single 10-plane table (all bits had to match).
 
-    @pandas_udf("long")
-    def bucket(vecs):
-        import pandas as pd
+    Runs in mapInArrow: the fixed-dim embedding column reshapes
+    zero-copy from the Arrow ListArray values buffer — no per-row
+    Python.  Output: (id, vec, band, bucket), one row per band.
+    """
+    import pyarrow as pa
 
-        out = np.zeros(len(vecs), dtype=np.int64)
-        mats = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) if len(vecs) else np.zeros((0, dim))
-        if len(vecs):
-            signs = (mats @ planes.T) > 0
-            out = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
-        return pd.Series(out)
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    out_schema = "id long, vec array<float>, band int, bucket long"
+    arrow_out = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("vec", pa.list_(pa.float32())),
+            ("band", pa.int32()),
+            ("bucket", pa.int64()),
+        ]
+    )
 
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket(F.col(vec_col)).alias("bucket"))
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+    )
+
+    def op(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = b.column("vec")
+            if isinstance(vec, pa.ChunkedArray):  # pragma: no cover - defensive
+                vec = vec.combine_chunks()
+            offsets = np.asarray(vec.offsets, dtype=np.int64)
+            lens = offsets[1:] - offsets[:-1]
+            if not (lens == dim).all():
+                raise ValueError(f"expected fixed dim {dim}, got lens {np.unique(lens)}")
+            flat = np.asarray(vec.values, dtype=np.float64)  # zero-copy view + upcast
+            mats = flat[offsets[0] : offsets[-1]].reshape(n, dim)
+            signs = (mats @ planes.T) > 0  # [n, bands*rows]
+            weights = np.int64(1) << np.arange(rows_per_band, dtype=np.int64)
+            bh = (signs.reshape(n, bands, rows_per_band) * weights).sum(axis=2)  # [n, bands]
+            ids = np.asarray(b.column("id"), dtype=np.int64)
+            rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, bands), pa.int64()),
+                    vec.take(rep),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(bh.ravel()),
+                ],
+                schema=arrow_out,
+            )
+
+    return base.mapInArrow(op, out_schema)
 
 
 def embedding_near_dup_lsh(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 10,
+    bands: int = 8,
+    rows_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Scale path: candidates share an LSH bucket (shuffle key), then
-    exact cosine verification on candidates only."""
-    b = lsh_buckets(df, n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
-    b = b.select("id", "bucket", _int_vec(F.col("vec")).alias("vec"))
+    """Scale path: candidates share any (band, bucket) — a shuffle key,
+    never all-pairs — then *exact* integerized cosine verification on
+    candidates only, so emitted pairs are exact-threshold-true."""
+    b = lsh_band_buckets(
+        df, bands=bands, rows_per_band=rows_per_band, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select("id", "band", "bucket", _int_vec(F.col("vec")).alias("vec"))
     x, y = b.alias("a"), b.alias("b")
     dot = _dot(F.col("a.vec"), F.col("b.vec")).cast("double")
     na = F.sqrt(_dot(F.col("a.vec"), F.col("a.vec")).cast("double"))
     nb = F.sqrt(_dot(F.col("b.vec"), F.col("b.vec")).cast("double"))
     return (
-        x.join(y, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        x.join(
+            y,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(dot / (na * nb), 6).alias("cosine"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )

@@ -75,13 +75,17 @@ def column_stats(values: pa.Array, physical: str) -> ColumnStats:
     sorted_prefix = False
     if physical in ("INT32", "INT64"):
         t = sample
-        if pa.types.is_timestamp(t.type) or pa.types.is_date(t.type):
+        if pa.types.is_date(t.type):  # no direct date32->int64 cast in pyarrow 16
+            t = t.cast(pa.int32()).cast(pa.int64())
+        elif pa.types.is_timestamp(t.type):
             t = t.cast(pa.int64())
         mm = pc.min_max(t)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         range_bits = int(hi - lo).bit_length() if hi is not None else 0
         prefix = values.slice(0, min(n, _SAMPLE_ROWS))
-        if pa.types.is_timestamp(prefix.type) or pa.types.is_date(prefix.type):
+        if pa.types.is_date(prefix.type):
+            prefix = prefix.cast(pa.int32()).cast(pa.int64())
+        elif pa.types.is_timestamp(prefix.type):
             prefix = prefix.cast(pa.int64())
         pv = np.asarray(prefix)
         sorted_prefix = bool(len(pv) > 2 and (np.diff(pv) >= 0).all())
@@ -164,7 +168,7 @@ def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
             # expensive fsst trial — it rarely beats a 2x-winning lined/dict
         try:
             sz = len(_encode_values(sample, c, physical))
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
             continue
         if sz < best_size and sz < base * margin.get(c, 1.0):
             best, best_size = c, sz

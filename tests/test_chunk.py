@@ -65,6 +65,35 @@ def test_chunk_timestamps():
     _chunk_rt(f, data, "plain")
 
 
+def test_chunk_dates():
+    # ADVICE r1: date32 crashed auto encoding (pyarrow 16 has no
+    # date32<->int64 cast); every integer codec must round-trip dates
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    data = [base + dt.timedelta(days=i % 90) for i in range(400)]
+    f = pa.field("d", pa.date32(), nullable=False)
+    for codec in ("plain", "for", "dict", "rle"):
+        _chunk_rt(f, data, codec)
+    _chunk_rt(f, sorted(data), "delta")
+    # auto mode must not crash on dates (the original failure mode)
+    arr = pa.array(data, type=pa.date32())
+    assert select_codec(arr, "INT32") in ("for", "dict", "rle", "delta", "plain")
+
+
+def test_chunk_lined_binary_non_utf8():
+    # ADVICE r1: lined decode cast lines to utf8 and raised on binary;
+    # newline-heavy non-UTF-8 payloads must round-trip losslessly
+    data = [b"\xff\xfeline one\n\x80binary\nend" + bytes([i]) for i in range(100)]
+    f = pa.field("payload", pa.binary(), nullable=False)
+    _chunk_rt(f, data, "lined")
+
+
+def test_chunk_lined_empty_and_trailing_newlines():
+    data = ["", "a\n", "\n\n", "x", "a\nb"] * 40
+    _chunk_rt(pa.field("s", pa.string(), nullable=False), data, "lined")
+
+
 def test_selector_low_cardinality_runny():
     # constant-ish column -> run-based codec (rle and dict are within a
     # few bytes of each other here; both are >100x smaller than plain)

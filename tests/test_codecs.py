@@ -10,14 +10,23 @@ from hypothesis import strategies as st
 from cpp_parquet_spark.kernels.dictionary import decode_dict, encode_dict
 from cpp_parquet_spark.kernels.forpack import decode_for, encode_for
 from cpp_parquet_spark.kernels.fsst import decode_fsst, encode_fsst
-from cpp_parquet_spark.kernels.plain import decode_plain, encode_plain, plain_size
+from cpp_parquet_spark.kernels.plain import (
+    decode_plain,
+    encode_plain,
+    encode_plain_parquet,
+    plain_size,
+)
 from cpp_parquet_spark.kernels.rle_runs import decode_rle_runs, encode_rle_runs
 
 
 def plain_rt(values, physical, arrow_type):
     arr = pa.array(values, type=arrow_type)
     enc = encode_plain(arr, physical)
-    assert len(enc) == plain_size(arr, physical)
+    if physical != "BYTE_ARRAY":
+        # fixed-width SGC1 plain == reference wire layout
+        assert len(enc) == plain_size(arr, physical)
+    # the reference wire layout is always exactly plain_size
+    assert len(encode_plain_parquet(arr, physical)) == plain_size(arr, physical)
     out = decode_plain(enc, len(arr), physical, arrow_type)
     assert out.to_pylist() == arr.to_pylist()
     return enc
@@ -38,8 +47,11 @@ def test_plain_fixed_layout():
 
 
 def test_plain_byte_array_layout():
-    # u32 LE length prefix + bytes (parquet-column.cc:238-258)
-    enc = plain_rt([b"ab", b"", b"xyz"], "BYTE_ARRAY", pa.binary())
+    # reference wire layout: u32 LE length prefix + bytes
+    # (parquet-column.cc:238-258) — produced by encode_plain_parquet
+    plain_rt([b"ab", b"", b"xyz"], "BYTE_ARRAY", pa.binary())
+    arr = pa.array([b"ab", b"", b"xyz"], type=pa.binary())
+    enc = encode_plain_parquet(arr, "BYTE_ARRAY")
     assert enc == b"\x02\x00\x00\x00ab" + b"\x00\x00\x00\x00" + b"\x03\x00\x00\x00xyz"
 
 
@@ -47,9 +59,9 @@ def test_plain_shrinking_byte_arrays():
     # F3: row i = 512-char sentinel truncated to 512-i (ref :159-190)
     vals = [("x" * 512)[: 512 - i] for i in range(500)]
     arr = pa.array(vals, type=pa.string())
+    # reference wire layout: per-record sizes 516-i
+    assert len(encode_plain_parquet(arr, "BYTE_ARRAY")) == sum(516 - i for i in range(500))
     enc = encode_plain(arr, "BYTE_ARRAY")
-    # per-record sizes 516-i
-    assert len(enc) == sum(516 - i for i in range(500))
     out = decode_plain(enc, 500, "BYTE_ARRAY", pa.string())
     assert out.to_pylist() == vals
 

@@ -8,11 +8,10 @@ def test_oracle_keys_subset_of_queries():
     o = set(entrymod.oracle_sql().keys())
     assert o <= q, f"oracle entries without queries: {o - q}"
     # the non-oracled ones are the genuinely non-SQL-expressible ops
+    # (engine metadata, xxhash64-based fingerprints, media stubs)
     assert q - o <= {
         "codec_selection",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "embedding_near_dup_lsh",
+        "winnow_fingerprints",
         "multimodal_features",
     }
 
