@@ -218,6 +218,24 @@ def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(_planted()).select("id_a", "id_b", "cosine")
 
 
+def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (coarse quantizer + nprobe lists + exact verify on
+    candidates).  Planted-copy invariant: each query's exact copy shares
+    its centroid, is always probed, and has cosine exactly
+    dot(v,v)/(sqrt·sqrt) — rank 1 deterministically."""
+    from cpp_parquet_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    both = emb.unionByName(copies)
+    top = ivf_topk(both, k=3, query_filter="vec_id % 50 = 0 AND vec_id < 1000000")
+    return top.filter((F.col("rank") == 1) & (F.col("cid") == F.col("qid") + 1000000)).select(
+        "qid", "cid", "cosine"
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al.) — scalar summary view;
     no SQL oracle (DuckDB lacks xxhash64), driver records rows-only."""
@@ -348,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "similarity_ivf_topk": _q_similarity_ivf,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
@@ -492,6 +511,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "similarity_ivf_topk": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS iv
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT vec_id AS qid,
+                   vec_id + 1000000 AS cid,
+                   round(CAST(list_dot_product(iv, iv) AS DOUBLE)
+                         / (sqrt(CAST(list_dot_product(iv, iv) AS DOUBLE))
+                            * sqrt(CAST(list_dot_product(iv, iv) AS DOUBLE))), 6) AS cosine
+            FROM v
         """,
         "dedup_minhash_lsh": """
             SELECT doc_id AS id_a,

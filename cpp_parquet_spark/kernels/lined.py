@@ -79,32 +79,11 @@ def decode_lined(buf: bytes, n: int, arrow_type: pa.DataType) -> pa.Array:
     indices = decode_hybrid(mv[pos : pos + ilen], width, total_lines).astype(np.int64)
 
     flat = dictionary.take(pa.array(indices))  # large_binary lines, in doc order
-    # Rebuild the payload in *binary* with numpy (pc.binary_join would
-    # force a utf8 cast, which raises on non-UTF-8 bytes — lined must
-    # round-trip binary columns losslessly).
-    bufs = flat.buffers()
-    loff = np.frombuffer(bufs[1], dtype=np.int64)[flat.offset : flat.offset + total_lines + 1]
-    payload = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-    line_lens = loff[1:] - loff[:-1]
-    last_line = np.cumsum(counts) - 1  # index of each doc's final line
-    sep_after = np.ones(total_lines, dtype=bool)
-    sep_after[last_line] = False
-    out_lens = line_lens + sep_after  # each non-final line emits a '\n'
-    total = int(out_lens.sum())
-    starts_out = np.cumsum(out_lens) - out_lens
-    out = np.empty(total, dtype=np.uint8)
-    out[(starts_out + line_lens)[sep_after]] = 10
-    payload_total = int(line_lens.sum())
-    if payload_total:
-        cum = np.cumsum(line_lens) - line_lens
-        within = np.arange(payload_total, dtype=np.int64) - np.repeat(cum, line_lens)
-        out[np.repeat(starts_out, line_lens) + within] = payload[
-            np.repeat(loff[:-1], line_lens) + within
-        ]
-    doc_offsets = np.concatenate(([0], (starts_out + out_lens)[last_line])).astype(np.int64)
-    joined = pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(),
-        n,
-        [None, pa.py_buffer(doc_offsets.tobytes()), pa.py_buffer(out.tobytes())],
-    )
+    # Join in *binary* (no utf8 cast — r1 cast lines to pa.string(),
+    # which raised on non-UTF-8 bytes): wrap the taken lines in a
+    # LargeListArray (zero-copy) and let the Arrow C++ binary_join
+    # kernel rebuild payloads in one pass.
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat)
+    joined = pc.binary_join(lists, pa.scalar(b"\n", pa.large_binary()))
     return joined.cast(arrow_type)

@@ -156,6 +156,136 @@ def lsh_band_buckets(
     return base.mapInArrow(op, out_schema)
 
 
+def _assign_centroids(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment, batch-wide numpy in mapInArrow."""
+    import pyarrow as pa
+
+    nlist, dim = centroids.shape
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+    )
+    out_schema = "id long, vec array<float>, cid int"
+    arrow_out = pa.schema(
+        [("id", pa.int64()), ("vec", pa.list_(pa.float32())), ("cid", pa.int32())]
+    )
+
+    def op(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = b.column("vec")
+            offsets = np.asarray(vec.offsets, dtype=np.int64)
+            flat = np.asarray(vec.values, dtype=np.float64)
+            mats = flat[offsets[0] : offsets[-1]].reshape(n, dim)
+            norms = np.maximum(np.linalg.norm(mats, axis=1, keepdims=True), 1e-12)
+            cid = np.argmax((mats / norms) @ cn.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("id").cast(pa.int64()), vec, pa.array(cid)], schema=arrow_out
+            )
+
+    return base.mapInArrow(op, out_schema)
+
+
+def ivf_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> np.ndarray:
+    """IVF coarse quantizer: deterministic seeds (the nlist smallest
+    ids) refined by Lloyd iterations.  Each iteration is one shuffle of
+    (cid, pos, value) with map-side partial aggregation — nlist×dim
+    rows after combine, scale-safe at any input size."""
+    seeds = (
+        df.orderBy(F.col(id_col))
+        .limit(nlist)
+        .select(F.col(vec_col).cast("array<float>").alias("v"))
+        .collect()
+    )
+    cents = np.array([r["v"] for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = _assign_centroids(df, cents, id_col, vec_col)
+        rows = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cid"], r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_filter: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus bucketed by nearest centroid
+    (the shuffle key), each query probes its nprobe nearest lists, exact
+    integerized cosine on candidates only.  The scale path alongside
+    the hyperplane LSH — candidate count ~ n·nprobe/nlist, never n²."""
+    cents = ivf_centroids(df, nlist=nlist, id_col=id_col, vec_col=vec_col, dim=dim)
+    assigned = _assign_centroids(df, cents, id_col, vec_col).select(
+        "id", "cid", _int_vec(F.col("vec")).alias("vec")
+    )
+    qdf = df.filter(F.expr(query_filter))
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    # nprobe lists per query need the full centroid-score vector — the
+    # query side is tiny by contract (a filter), so compute driver-side
+    qrows = qdf.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).cast("array<float>").alias("v"),
+    ).collect()
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qmat @ cn.T), axis=1)[:, :nprobe]
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(r["qid"]), [int(c) for c in probe[i]])
+            for i, r in enumerate(qrows)
+        ],
+        "qid long, cids array<int>",
+    )
+    queries = (
+        qdf.select(F.col(id_col).cast("long").alias("qid"), _int_vec(F.col(vec_col)).alias("qvec"))
+        .join(probes, "qid")
+        .select("qid", "qvec", F.explode("cids").alias("cid"))
+    )
+    dot = _dot(F.col("qvec"), F.col("vec")).cast("double")
+    nq = F.sqrt(_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nc = F.sqrt(_dot(F.col("vec"), F.col("vec")).cast("double"))
+    scored = (
+        assigned.join(F.broadcast(queries), ["cid"])
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", F.col("id").alias("cid_vec"), (dot / (nq * nc)).alias("cos"))
+        .dropDuplicates(["qid", "cid_vec"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid_vec"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("cid_vec").alias("cid"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     threshold: float = 0.9,

@@ -114,8 +114,16 @@ def shortlist(stats: ColumnStats, physical: str) -> list[str]:
         # strongest codec when lines repeat (source code)
         if s.avg_newlines >= 2 and not low_card:
             cands.append("lined")
-        # redundancy worth FSST: mid/low entropy, not already dict-able
-        if s.avg_len >= 8 and not low_card and s.byte_entropy < 7.0:
+        # redundancy worth FSST: mid/low entropy, not already dict-able.
+        # FSST is a *short-string* codec (paths, identifiers, code-ish
+        # rows): its encode replays merge rounds over every token,
+        # O(rounds × payload) with heavy constants (~5-10 MB/s), so cap
+        # the estimated chunk payload — on a 154 MB document chunk it
+        # crawled at ~1 MB/s (163 s) while lined does >100 MB/s at a
+        # similar ratio (r2 fix).  Within the cap the worst case is a
+        # few seconds per chunk, which the ratio win pays for.
+        payload_est = s.n * s.avg_len
+        if 8 <= s.avg_len <= 4096 and payload_est <= 32e6 and not low_card and s.byte_entropy < 7.0:
             cands.append("fsst")
         cands.append("plain")
     elif physical in ("INT32", "INT64"):
@@ -152,8 +160,19 @@ def select_codec(values: pa.Array, physical: str, mode: str = "auto") -> str:
         return cands[0]
     from cpp_parquet_spark.chunk import _encode_values
 
-    # trial-encode a contiguous prefix so run-based codecs compete fairly
-    sample = values.slice(0, min(len(values), _SAMPLE_ROWS))
+    # Trial-encode contiguous runs so run-based codecs compete fairly,
+    # but take TWO slices (head + middle): a chunk can be heterogeneous
+    # (e.g. short synthetic rows followed by long documents) and a
+    # head-only sample picks the wrong codec for the bulk of the bytes.
+    # Cap the trial payload at ~2 MB so long-value columns don't make
+    # selection itself expensive.
+    n = len(values)
+    n_trial = min(_SAMPLE_ROWS, max(256, int(2_000_000 / max(stats.avg_len, 1.0))))
+    if n > 2 * n_trial:
+        half = n_trial // 2
+        sample = pa.concat_arrays([values.slice(0, half), values.slice(n // 2, half)])
+    else:
+        sample = values.slice(0, min(n, n_trial))
     base = plain_size(sample, physical)
     # expensive codecs must clear a margin over PLAIN; a ~5% win (e.g.
     # fsst's bit-packed lengths vs PLAIN's u32 prefixes on random data)

@@ -57,6 +57,36 @@ def encode_stream(
     return writer.start()
 
 
+def stream_to_parquet(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    row_group_rows: int = 1 << 16,
+    trigger_available_now: bool = True,
+):
+    """Streaming sink writing REAL Parquet files with our writer: each
+    micro-batch lands as ``batch-{id}/part-*.parquet`` via the
+    distributed sink, so any Parquet reader can tail the directory.
+    Spark's checkpoint + the per-batch subdirectory make re-delivery
+    idempotent (a re-run batch overwrites its own directory only)."""
+    import os
+
+    from cpp_parquet_spark.sink import write_dataset
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_dir = os.path.join(out_dir, f"batch-{batch_id}")
+        write_dataset(batch_df, batch_dir, row_group_rows=row_group_rows).collect()
+
+    writer = source.writeStream.foreachBatch(run_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_stats(events: DataFrame, watermark: str = "10 minutes", window: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation over the driver's events
     table shape (event_id, ts, user_id, event_type, value, props) —

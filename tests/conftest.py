@@ -9,8 +9,18 @@ apply_malloc_env()
 def spark():
     from pyspark.sql import SparkSession
 
+    import os
+
+    scratch = "/dev/shm/spark-test-scratch" if os.path.isdir("/dev/shm") else None
+    builder = SparkSession.builder
+    if scratch:
+        # the root fs is ext4-on-virtio with `discard`: shuffle-file
+        # churn triggers host TRIM storms (see BASELINE.md) — tmpfs
+        # scratch keeps test timing sane
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     s = (
-        SparkSession.builder.master("local[4]")
+        builder.master("local[4]")
         .appName("cpp-parquet-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

@@ -150,6 +150,38 @@ def test_embedding_lsh_recall_on_perturbed_near_dups(spark):
     assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"
 
 
+def test_ivf_topk_planted_copy_ranks_first(spark):
+    from cpp_parquet_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).withColumn("vec_id", F.col("vec_id") + 10**6)
+    top = ivf_topk(emb.unionByName(copies), k=3, query_filter="vec_id % 50 = 0 AND vec_id < 1000000")
+    rows = top.collect()
+    n_queries = emb.filter("vec_id % 50 = 0").count()
+    top1 = {r["qid"]: r["cid"] for r in rows if r["rank"] == 1}
+    assert len(top1) == n_queries
+    for qid, cid in top1.items():
+        assert cid == qid + 10**6  # the identical copy is always found
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=4/16 lists should recover most of the exact
+    top-3 — the approximate/exact contract of the scale path."""
+    from cpp_parquet_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["qid"], r["cid"])
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(emb, k=3, nprobe=6).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.6, f"IVF recall {recall:.3f}"
+
+
 def test_text_stats_and_quality(spark):
     from cpp_parquet_spark.pipeline.text import quality_features, text_stats
 

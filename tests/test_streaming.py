@@ -30,6 +30,27 @@ def test_streaming_encode_availablenow(spark, tmp_path):
     assert all(s.startswith("s-b") for s in snaps)
 
 
+def test_stream_to_real_parquet(spark, tmp_path):
+    """Streaming micro-batches land as real Parquet part files that
+    Spark's own reader (an independent parser) reads back."""
+    from cpp_parquet_spark.streaming import stream_to_parquet
+
+    src_dir = str(tmp_path / "src")
+    src = source_repos_from_documents(spark, "/root/testdata/sf0.001")
+    src.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 2).parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    q = stream_to_parquet(stream, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    back = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    assert back.count() == src.count()
+    a = src.select(F.sha2("content", 256).alias("s"))
+    b = back.select(F.sha2("content", 256).alias("s"))
+    assert a.exceptAll(b).count() == 0
+
+
 def test_windowed_event_stats_batch_semantics(spark):
     # run the streaming aggregation in batch mode to pin its semantics
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
