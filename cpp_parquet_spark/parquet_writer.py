@@ -182,8 +182,13 @@ def _page_values_plain(values: pa.Array, physical: str, int96: bool = False) -> 
     return encode_plain_parquet(values, physical)
 
 
-def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> bytes:
-    """One v1 data page: PageHeader + [u32+RLE rep][u32+RLE def] + PLAIN."""
+_ENC_RLE_DICT = 8
+_PAGE_DICT = 2
+_MAX_STAT_BYTES = 64
+
+
+def _levels_block(sh: ShreddedColumn, plan: ColumnPlan) -> bytearray:
+    """[u32+RLE rep][u32+RLE def] framing (parquet-column.cc:436-443)."""
     body = bytearray()
     if plan.max_rep > 0:
         enc = rle.encode_hybrid(sh.rep_levels, bit_width_for(plan.max_rep))
@@ -193,6 +198,21 @@ def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> byt
         enc = rle.encode_hybrid(sh.def_levels, bit_width_for(plan.max_def))
         body += len(enc).to_bytes(4, "little")
         body += enc
+    return body
+
+
+def _page_header(page_type: int, body_len: int, dph: bytes, dph_fid: int) -> bytes:
+    return tc.struct(
+        tc.f_i32(1, page_type),
+        tc.f_i32(2, body_len),  # uncompressed_page_size
+        tc.f_i32(3, body_len),  # compressed == uncompressed (no codec)
+        tc.f_struct(dph_fid, dph),
+    )
+
+
+def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> bytes:
+    """One v1 data page: PageHeader + level blocks + PLAIN values."""
+    body = _levels_block(sh, plan)
     body += _page_values_plain(sh.values, plan.physical, int96=int96)
     dph = tc.struct(
         tc.f_i32(1, sh.num_entries),  # num_values incl. nulls
@@ -200,13 +220,95 @@ def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> byt
         tc.f_i32(3, _ENC_RLE),  # definition_level_encoding
         tc.f_i32(4, _ENC_RLE),  # repetition_level_encoding
     )
-    header = tc.struct(
-        tc.f_i32(1, _PAGE_DATA),
-        tc.f_i32(2, len(body)),  # uncompressed_page_size
-        tc.f_i32(3, len(body)),  # compressed == uncompressed (no codec)
-        tc.f_struct(5, dph),
+    return _page_header(_PAGE_DATA, len(body), dph, 5) + bytes(body)
+
+
+def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc) -> tuple[bytes, bytes]:
+    """(dictionary page, data page) for a dictionary-encoded chunk:
+    dict values PLAIN in a DICTIONARY_PAGE, indices as
+    [u8 bit width][RLE/bit-packed hybrid] with RLE_DICTIONARY encoding —
+    the engine's own hybrid coder (kernels/rle.py) IS the wire format."""
+    dictionary, indices = denc.dictionary, np.asarray(denc.indices, dtype=np.uint64)
+    card = len(dictionary)
+    dict_body = encode_plain_parquet(dictionary, plan.physical)
+    dict_hdr = _page_header(
+        _PAGE_DICT,
+        len(dict_body),
+        tc.struct(tc.f_i32(1, card), tc.f_i32(2, _ENC_PLAIN)),
+        7,  # PageHeader.dictionary_page_header
     )
-    return header + bytes(body)
+    width = max((card - 1).bit_length(), 1)
+    body = _levels_block(sh, plan)
+    body += bytes([width])
+    body += rle.encode_hybrid(indices, width)
+    dph = tc.struct(
+        tc.f_i32(1, sh.num_entries),
+        tc.f_i32(2, _ENC_RLE_DICT),
+        tc.f_i32(3, _ENC_RLE),
+        tc.f_i32(4, _ENC_RLE),
+    )
+    return dict_hdr + dict_body, _page_header(_PAGE_DATA, len(body), dph, 5) + bytes(body)
+
+
+def _stat_bytes(scalar, t: pa.DataType) -> bytes | None:
+    """Plain-encoded min/max value for Statistics (physical-type bytes)."""
+    v = scalar.as_py()
+    if v is None:
+        return None
+    if pa.types.is_date32(t):
+        v = (scalar.cast(pa.int32())).as_py()
+        return int(v).to_bytes(4, "little", signed=True)
+    if pa.types.is_timestamp(t):
+        return int(scalar.cast(pa.int64()).as_py()).to_bytes(8, "little", signed=True)
+    if pa.types.is_integer(t):
+        width = 4 if pa.types.is_int32(t) or t.bit_width <= 32 else 8
+        return int(v).to_bytes(width, "little", signed=True)
+    if pa.types.is_float32(t):
+        return np.float32(v).tobytes()
+    if pa.types.is_float64(t):
+        return np.float64(v).tobytes()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        b = v.encode("utf-8")
+        return b if len(b) <= _MAX_STAT_BYTES else None
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return v if len(v) <= _MAX_STAT_BYTES else None
+    return None
+
+
+def _statistics(sh: ShreddedColumn, plan: ColumnPlan) -> bytes | None:
+    """Thrift Statistics (null_count + min_value/max_value) so readers
+    can prune row groups — the reference writes none; this is part of
+    making the output a first-class scan source at scale."""
+    import pyarrow.compute as pc
+
+    null_count = sh.num_entries - len(sh.values)
+    head: list = []
+    fields = [tc.f_i64(3, null_count)]
+    t = sh.values.type
+    ok_type = (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_date32(t)
+        or pa.types.is_timestamp(t)
+    )
+    if ok_type and len(sh.values):
+        if pa.types.is_floating(t) and pc.any(pc.is_nan(sh.values)).as_py():
+            return tc.struct(*fields)  # NaN breaks min/max ordering: omit
+        mm = pc.min_max(sh.values)
+        mn, mx = _stat_bytes(mm["min"], t), _stat_bytes(mm["max"], t)
+        if mn is not None and mx is not None:
+            # both the modern (5/6) and deprecated (1/2) field pairs:
+            # Arrow C++ distrusts 5/6 from writers it cannot version-parse
+            # but accepts 1/2 (what DuckDB emits); DuckDB reads either
+            head.append(tc.f_binary(1, mx))  # max (deprecated)
+            head.append(tc.f_binary(2, mn))  # min (deprecated)
+            fields.append(tc.f_binary(5, mx))  # max_value
+            fields.append(tc.f_binary(6, mn))  # min_value
+    return tc.struct(*head, *fields)
 
 
 class ParquetWriter:
@@ -224,10 +326,12 @@ class ParquetWriter:
         schema: pa.Schema,
         created_by: str = "cpp-parquet-spark",
         int96_timestamps: bool = False,
+        use_dictionary: bool = True,
     ):
         self.path = path
         self.schema = schema
         self.int96 = int96_timestamps
+        self.use_dictionary = use_dictionary
         self.plans = plan_from_schema(schema)
         self._elems, self._leaf_paths = _schema_elements(schema, int96_timestamps)
         assert len(self._leaf_paths) == len(self.plans)
@@ -248,27 +352,49 @@ class ParquetWriter:
             col = table.column(plan.path[0])
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             sh = shred(arr, plan)
-            page = _data_page(sh, plan, int96=self.int96)
-            page_offset = self._pos
-            self._f.write(page)
-            self._pos += len(page)
-            total += len(page)
+            use_int96 = self.int96 and pa.types.is_timestamp(plan.arrow_type)
+            # dictionary-encode when the chunk is meaningfully repetitive
+            denc = None
+            if self.use_dictionary and not use_int96 and plan.physical != "BOOLEAN" and len(sh.values):
+                try:
+                    d = sh.values.dictionary_encode()
+                except pa.lib.ArrowError:  # pragma: no cover - defensive
+                    d = None
+                if d is not None and len(d.dictionary) <= max(1, len(sh.values) // 2):
+                    denc = d
+            encodings = [_ENC_PLAIN, _ENC_RLE]
+            dict_offset = None
+            if denc is not None:
+                dict_page, data_page = _dict_pages(sh, plan, denc)
+                dict_offset = self._pos
+                self._f.write(dict_page)
+                data_offset = self._pos + len(dict_page)
+                self._f.write(data_page)
+                chunk_len = len(dict_page) + len(data_page)
+                encodings.append(_ENC_RLE_DICT)
+            else:
+                page = _data_page(sh, plan, int96=use_int96)
+                data_offset = self._pos
+                self._f.write(page)
+                chunk_len = len(page)
+            self._pos += chunk_len
+            total += chunk_len
+            stats = None if use_int96 else _statistics(sh, plan)
             cmd = tc.struct(
-                tc.f_i32(
-                    1,
-                    _T_INT96
-                    if self.int96 and pa.types.is_timestamp(plan.arrow_type)
-                    else _PHYS_CODE[plan.physical],
-                ),
-                tc.f_list(2, tc.T_I32, [tc.zigzag_varint(_ENC_PLAIN), tc.zigzag_varint(_ENC_RLE)]),
+                tc.f_i32(1, _T_INT96 if use_int96 else _PHYS_CODE[plan.physical]),
+                tc.f_list(2, tc.T_I32, [tc.zigzag_varint(e) for e in encodings]),
                 tc.f_list(3, tc.T_BINARY, [tc.uvarint(len(p.encode())) + p.encode() for p in fpath]),
                 tc.f_i32(4, _CODEC_UNCOMPRESSED),
                 tc.f_i64(5, sh.num_entries),
-                tc.f_i64(6, len(page)),
-                tc.f_i64(7, len(page)),
-                tc.f_i64(9, page_offset),
+                tc.f_i64(6, chunk_len),
+                tc.f_i64(7, chunk_len),
+                tc.f_i64(9, data_offset),
+                tc.f_i64(11, dict_offset) if dict_offset is not None else None,
+                tc.f_struct(12, stats) if stats is not None else None,
             )
-            chunks.append(tc.struct(tc.f_i64(2, page_offset), tc.f_struct(3, cmd)))
+            chunks.append(
+                tc.struct(tc.f_i64(2, dict_offset if dict_offset is not None else data_offset), tc.f_struct(3, cmd))
+            )
         rg = tc.struct(
             tc.f_list(1, tc.T_STRUCT, chunks),
             tc.f_i64(2, total),

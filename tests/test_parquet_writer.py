@@ -124,6 +124,60 @@ def test_boolean_bitpacking_vs_reference(tmp_path):
     assert duckdb.sql(f"select sum(cast(b as int)) from '{path}'").fetchone()[0] == 250
 
 
+def test_dictionary_pages(tmp_path):
+    """Low-cardinality columns get a DICTIONARY_PAGE + RLE_DICTIONARY
+    data pages (the engine's hybrid coder is the wire format); files
+    shrink and all readers still parse."""
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    p_dict = str(tmp_path / "d.parquet")
+    p_plain = str(tmp_path / "p.parquet")
+    s_dict = write_table(src, p_dict)
+    from cpp_parquet_spark.parquet_writer import ParquetWriter
+
+    w = ParquetWriter(p_plain, src.schema, use_dictionary=False)
+    w.write_row_group(src)
+    s_plain = w.close()
+    assert s_dict["bytes"] < s_plain["bytes"]
+    md = pq.ParquetFile(p_dict).metadata.row_group(0)
+    encs = {md.column(i).path_in_schema: md.column(i).encodings for i in range(md.num_columns)}
+    assert "RLE_DICTIONARY" in encs["lang"]
+    assert "RLE_DICTIONARY" in encs["source"]
+    assert "RLE_DICTIONARY" not in encs["text"]  # all-unique stays PLAIN
+    back = pq.read_table(p_dict)
+    for name in src.schema.names:
+        assert (
+            back.column(name).combine_chunks().to_pylist()
+            == src.column(name).combine_chunks().to_pylist()
+        ), name
+    assert duckdb.sql(f"select count(distinct lang) from '{p_dict}'").fetchone()[0] == 5
+
+
+def test_statistics_row_group_pruning(tmp_path):
+    """min/max statistics land in the footer in a form pyarrow AND
+    DuckDB both trust, with per-row-group resolution on sorted data —
+    the row-group pruning contract at scale."""
+    src = (
+        pq.read_table("/root/testdata/sf0.001/orders.parquet")
+        .sort_by("o_orderkey")
+    )
+    path = str(tmp_path / "sorted.parquet")
+    write_table(src, path, row_group_rows=500)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups >= 3
+    prev_max = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(0).statistics
+        assert st.has_min_max
+        if prev_max is not None:
+            assert st.min > prev_max  # sorted -> disjoint ranges -> prunable
+        prev_max = st.max
+    # a selective filter returns exactly the right rows through pruning
+    got = pq.read_table(path, filters=[("o_orderkey", "<", 100)])
+    assert got.num_rows == sum(1 for v in src.column("o_orderkey").to_pylist() if v < 100)
+    n = duckdb.sql(f"select count(*) from '{path}' where o_orderkey < 100").fetchone()[0]
+    assert n == got.num_rows
+
+
 def test_distributed_sink(spark, tmp_path):
     """Every Spark task writes a real part file; Spark's own reader is
     the independent parser (and value-level oracle)."""
