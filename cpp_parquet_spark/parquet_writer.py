@@ -24,6 +24,13 @@ Differences from the reference, by design:
 Level streams are RLE/bit-packed hybrid with a u32 length prefix
 (exactly EncodeLevels → Flush framing, parquet-column.cc:307-335,
 436-443); data values are wire PLAIN (encode_plain_parquet).
+
+Beyond the reference (which writes PLAIN/UNCOMPRESSED only and no
+statistics): low-cardinality chunks get a DICTIONARY_PAGE +
+RLE_DICTIONARY data pages (kernels/rle.py's hybrid coder IS the wire
+format), column chunks carry min/max/null_count Statistics for
+row-group pruning, and pages can be GZIP-compressed
+(``compression="gzip"``).
 """
 
 from __future__ import annotations
@@ -185,6 +192,14 @@ def _page_values_plain(values: pa.Array, physical: str, int96: bool = False) -> 
 _ENC_RLE_DICT = 8
 _PAGE_DICT = 2
 _MAX_STAT_BYTES = 64
+_CODEC_GZIP = 2
+
+
+def _gzip(data: bytes) -> bytes:
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # wbits=31: gzip framing
+    return co.compress(data) + co.flush()
 
 
 def _levels_block(sh: ShreddedColumn, plan: ColumnPlan) -> bytearray:
@@ -201,16 +216,20 @@ def _levels_block(sh: ShreddedColumn, plan: ColumnPlan) -> bytearray:
     return body
 
 
-def _page_header(page_type: int, body_len: int, dph: bytes, dph_fid: int) -> bytes:
-    return tc.struct(
+def _page(page_type: int, body: bytes, dph: bytes, dph_fid: int, gzip: bool) -> bytes:
+    raw_len = len(body)
+    if gzip:
+        body = _gzip(bytes(body))
+    header = tc.struct(
         tc.f_i32(1, page_type),
-        tc.f_i32(2, body_len),  # uncompressed_page_size
-        tc.f_i32(3, body_len),  # compressed == uncompressed (no codec)
+        tc.f_i32(2, raw_len),  # uncompressed_page_size
+        tc.f_i32(3, len(body)),  # compressed_page_size
         tc.f_struct(dph_fid, dph),
     )
+    return header + bytes(body)
 
 
-def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> bytes:
+def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False, gzip: bool = False) -> bytes:
     """One v1 data page: PageHeader + level blocks + PLAIN values."""
     body = _levels_block(sh, plan)
     body += _page_values_plain(sh.values, plan.physical, int96=int96)
@@ -220,10 +239,10 @@ def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False) -> byt
         tc.f_i32(3, _ENC_RLE),  # definition_level_encoding
         tc.f_i32(4, _ENC_RLE),  # repetition_level_encoding
     )
-    return _page_header(_PAGE_DATA, len(body), dph, 5) + bytes(body)
+    return _page(_PAGE_DATA, body, dph, 5, gzip)
 
 
-def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc) -> tuple[bytes, bytes]:
+def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc, gzip: bool = False) -> tuple[bytes, bytes]:
     """(dictionary page, data page) for a dictionary-encoded chunk:
     dict values PLAIN in a DICTIONARY_PAGE, indices as
     [u8 bit width][RLE/bit-packed hybrid] with RLE_DICTIONARY encoding —
@@ -231,11 +250,12 @@ def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc) -> tuple[bytes, byte
     dictionary, indices = denc.dictionary, np.asarray(denc.indices, dtype=np.uint64)
     card = len(dictionary)
     dict_body = encode_plain_parquet(dictionary, plan.physical)
-    dict_hdr = _page_header(
+    dict_page = _page(
         _PAGE_DICT,
-        len(dict_body),
+        dict_body,
         tc.struct(tc.f_i32(1, card), tc.f_i32(2, _ENC_PLAIN)),
         7,  # PageHeader.dictionary_page_header
+        gzip,
     )
     width = max((card - 1).bit_length(), 1)
     body = _levels_block(sh, plan)
@@ -247,7 +267,7 @@ def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc) -> tuple[bytes, byte
         tc.f_i32(3, _ENC_RLE),
         tc.f_i32(4, _ENC_RLE),
     )
-    return dict_hdr + dict_body, _page_header(_PAGE_DATA, len(body), dph, 5) + bytes(body)
+    return dict_page, _page(_PAGE_DATA, body, dph, 5, gzip)
 
 
 def _stat_bytes(scalar, t: pa.DataType) -> bytes | None:
@@ -327,11 +347,15 @@ class ParquetWriter:
         created_by: str = "cpp-parquet-spark",
         int96_timestamps: bool = False,
         use_dictionary: bool = True,
+        compression: str | None = None,
     ):
+        if compression not in (None, "none", "gzip"):
+            raise ValueError("supported compression: None or 'gzip' (zlib is the only codec lib in this environment)")
         self.path = path
         self.schema = schema
         self.int96 = int96_timestamps
         self.use_dictionary = use_dictionary
+        self.gzip = compression == "gzip"
         self.plans = plan_from_schema(schema)
         self._elems, self._leaf_paths = _schema_elements(schema, int96_timestamps)
         assert len(self._leaf_paths) == len(self.plans)
@@ -365,7 +389,7 @@ class ParquetWriter:
             encodings = [_ENC_PLAIN, _ENC_RLE]
             dict_offset = None
             if denc is not None:
-                dict_page, data_page = _dict_pages(sh, plan, denc)
+                dict_page, data_page = _dict_pages(sh, plan, denc, gzip=self.gzip)
                 dict_offset = self._pos
                 self._f.write(dict_page)
                 data_offset = self._pos + len(dict_page)
@@ -373,7 +397,7 @@ class ParquetWriter:
                 chunk_len = len(dict_page) + len(data_page)
                 encodings.append(_ENC_RLE_DICT)
             else:
-                page = _data_page(sh, plan, int96=use_int96)
+                page = _data_page(sh, plan, int96=use_int96, gzip=self.gzip)
                 data_offset = self._pos
                 self._f.write(page)
                 chunk_len = len(page)
@@ -384,7 +408,7 @@ class ParquetWriter:
                 tc.f_i32(1, _T_INT96 if use_int96 else _PHYS_CODE[plan.physical]),
                 tc.f_list(2, tc.T_I32, [tc.zigzag_varint(e) for e in encodings]),
                 tc.f_list(3, tc.T_BINARY, [tc.uvarint(len(p.encode())) + p.encode() for p in fpath]),
-                tc.f_i32(4, _CODEC_UNCOMPRESSED),
+                tc.f_i32(4, _CODEC_GZIP if self.gzip else _CODEC_UNCOMPRESSED),
                 tc.f_i64(5, sh.num_entries),
                 tc.f_i64(6, chunk_len),
                 tc.f_i64(7, chunk_len),
@@ -434,10 +458,14 @@ class ParquetWriter:
 
 
 def write_table(
-    table: pa.Table, path: str, row_group_rows: int = 1 << 20, int96_timestamps: bool = False
+    table: pa.Table,
+    path: str,
+    row_group_rows: int = 1 << 20,
+    int96_timestamps: bool = False,
+    compression: str | None = None,
 ) -> dict:
     """Write an Arrow table as a real .parquet file (one call, N row groups)."""
-    w = ParquetWriter(path, table.schema, int96_timestamps=int96_timestamps)
+    w = ParquetWriter(path, table.schema, int96_timestamps=int96_timestamps, compression=compression)
     try:
         for start in range(0, max(table.num_rows, 1), row_group_rows):
             w.write_row_group(table.slice(start, row_group_rows))

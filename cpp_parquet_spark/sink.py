@@ -51,7 +51,11 @@ _MANIFEST_ARROW = pa.schema(
 
 
 def write_dataset(
-    df: DataFrame, directory: str, row_group_rows: int = DEFAULT_CHUNK_ROWS
+    df: DataFrame,
+    directory: str,
+    row_group_rows: int = DEFAULT_CHUNK_ROWS,
+    compression: str | None = None,
+    use_dictionary: bool = True,
 ) -> DataFrame:
     """Write ``df`` as a directory of real Parquet part files.
 
@@ -77,7 +81,9 @@ def write_dataset(
             nonlocal writer, buf, buf_rows
             tbl = pa.Table.from_batches(buf)
             if writer is None:
-                writer = ParquetWriter(tmp, tbl.schema)
+                writer = ParquetWriter(
+                    tmp, tbl.schema, compression=compression, use_dictionary=use_dictionary
+                )
             writer.write_row_group(tbl)
             buf, buf_rows = [], 0
 
@@ -108,7 +114,19 @@ def write_dataset(
     return df.mapInArrow(task, MANIFEST_SCHEMA)
 
 
-def write_parquet_dir(df: DataFrame, directory: str, row_group_rows: int = DEFAULT_CHUNK_ROWS) -> list:
+def write_parquet_dir(
+    df: DataFrame,
+    directory: str,
+    row_group_rows: int = DEFAULT_CHUNK_ROWS,
+    compression: str | None = None,
+    use_dictionary: bool = True,
+) -> list:
     """Force the write; return the manifest rows (driver-side metadata,
     one row per file — safe to collect)."""
-    return write_dataset(df, directory, row_group_rows=row_group_rows).collect()
+    return write_dataset(
+        df,
+        directory,
+        row_group_rows=row_group_rows,
+        compression=compression,
+        use_dictionary=use_dictionary,
+    ).collect()

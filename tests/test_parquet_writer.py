@@ -152,6 +152,25 @@ def test_dictionary_pages(tmp_path):
     assert duckdb.sql(f"select count(distinct lang) from '{p_dict}'").fetchone()[0] == 5
 
 
+def test_gzip_compression(tmp_path):
+    """Opt-in GZIP page compression (zlib is the only codec library in
+    this environment): smaller files, same values in both readers."""
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    p0, p1 = str(tmp_path / "u.parquet"), str(tmp_path / "g.parquet")
+    s0 = write_table(src, p0)
+    s1 = write_table(src, p1, compression="gzip", row_group_rows=200)
+    assert s1["bytes"] < s0["bytes"] / 2
+    back = pq.read_table(p1)
+    for name in src.schema.names:
+        assert (
+            back.column(name).combine_chunks().to_pylist()
+            == src.column(name).combine_chunks().to_pylist()
+        ), name
+    assert duckdb.sql(f"select count(*) from '{p1}'").fetchone()[0] == src.num_rows
+    with pytest.raises(ValueError, match="gzip"):
+        write_table(src, p0, compression="snappy")
+
+
 def test_statistics_row_group_pruning(tmp_path):
     """min/max statistics land in the footer in a form pyarrow AND
     DuckDB both trust, with per-row-group resolution on sorted data —
