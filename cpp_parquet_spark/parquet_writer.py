@@ -242,22 +242,22 @@ def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False, gzip: 
     return _page(_PAGE_DATA, body, dph, 5, gzip)
 
 
-def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc, gzip: bool = False) -> tuple[bytes, bytes]:
-    """(dictionary page, data page) for a dictionary-encoded chunk:
-    dict values PLAIN in a DICTIONARY_PAGE, indices as
-    [u8 bit width][RLE/bit-packed hybrid] with RLE_DICTIONARY encoding —
-    the engine's own hybrid coder (kernels/rle.py) IS the wire format."""
-    dictionary, indices = denc.dictionary, np.asarray(denc.indices, dtype=np.uint64)
-    card = len(dictionary)
-    dict_body = encode_plain_parquet(dictionary, plan.physical)
-    dict_page = _page(
+def _dictionary_page(dictionary: pa.Array, physical: str, gzip: bool) -> bytes:
+    """Dict values PLAIN in a DICTIONARY_PAGE."""
+    dict_body = encode_plain_parquet(dictionary, physical)
+    return _page(
         _PAGE_DICT,
         dict_body,
-        tc.struct(tc.f_i32(1, card), tc.f_i32(2, _ENC_PLAIN)),
+        tc.struct(tc.f_i32(1, len(dictionary)), tc.f_i32(2, _ENC_PLAIN)),
         7,  # PageHeader.dictionary_page_header
         gzip,
     )
-    width = max((card - 1).bit_length(), 1)
+
+
+def _dict_data_page(sh: ShreddedColumn, plan: ColumnPlan, indices: np.ndarray, width: int, gzip: bool) -> bytes:
+    """Data page of dictionary indices: [u8 bit width][RLE/bit-packed
+    hybrid] with RLE_DICTIONARY encoding — the engine's own hybrid coder
+    (kernels/rle.py) IS the wire format."""
     body = _levels_block(sh, plan)
     body += bytes([width])
     body += rle.encode_hybrid(indices, width)
@@ -267,7 +267,47 @@ def _dict_pages(sh: ShreddedColumn, plan: ColumnPlan, denc, gzip: bool = False) 
         tc.f_i32(3, _ENC_RLE),
         tc.f_i32(4, _ENC_RLE),
     )
-    return dict_page, _page(_PAGE_DATA, body, dph, 5, gzip)
+    return _page(_PAGE_DATA, body, dph, 5, gzip)
+
+
+def _split_pages(sh: ShreddedColumn, plan: ColumnPlan, max_records: int) -> list[tuple[ShreddedColumn, int, int]]:
+    """Split a shredded chunk into page-sized sub-chunks at *record*
+    boundaries (pages must start where rep == 0).  Returns
+    (page_shred, value_start, value_end) triples.  A 1M-row group as a
+    single page forces readers to buffer it whole — real writers bound
+    page size (the reference's kDataBytesPerPage intent,
+    parquet-file.h:28, which its single-Flush design never exercises)."""
+    n_entries = sh.num_entries
+    if plan.max_rep > 0:
+        rec_starts = np.flatnonzero(sh.rep_levels == 0)
+        page_starts = rec_starts[::max_records]
+    else:
+        page_starts = np.arange(0, n_entries, max_records, dtype=np.int64)
+    if len(page_starts) <= 1:
+        return [(sh, 0, len(sh.values))]
+    if plan.max_def > 0:
+        vcum = np.concatenate(([0], np.cumsum(sh.def_levels == plan.max_def)))
+    else:
+        vcum = np.arange(n_entries + 1)
+    bounds = np.append(page_starts, n_entries)
+    out = []
+    for i in range(len(bounds) - 1):
+        e0, e1 = int(bounds[i]), int(bounds[i + 1])
+        v0, v1 = int(vcum[e0]), int(vcum[e1])
+        out.append(
+            (
+                ShreddedColumn(
+                    plan=plan,
+                    def_levels=sh.def_levels[e0:e1] if sh.def_levels is not None else None,
+                    rep_levels=sh.rep_levels[e0:e1] if sh.rep_levels is not None else None,
+                    values=sh.values.slice(v0, v1 - v0),
+                    num_entries=e1 - e0,
+                ),
+                v0,
+                v1,
+            )
+        )
+    return out
 
 
 def _stat_bytes(scalar, t: pa.DataType) -> bytes | None:
@@ -348,6 +388,7 @@ class ParquetWriter:
         int96_timestamps: bool = False,
         use_dictionary: bool = True,
         compression: str | None = None,
+        page_records: int = 20_000,
     ):
         if compression not in (None, "none", "gzip"):
             raise ValueError("supported compression: None or 'gzip' (zlib is the only codec lib in this environment)")
@@ -356,6 +397,7 @@ class ParquetWriter:
         self.int96 = int96_timestamps
         self.use_dictionary = use_dictionary
         self.gzip = compression == "gzip"
+        self.page_records = page_records
         self.plans = plan_from_schema(schema)
         self._elems, self._leaf_paths = _schema_elements(schema, int96_timestamps)
         assert len(self._leaf_paths) == len(self.plans)
@@ -388,19 +430,27 @@ class ParquetWriter:
                     denc = d
             encodings = [_ENC_PLAIN, _ENC_RLE]
             dict_offset = None
+            chunk_len = 0
+            pages = _split_pages(sh, plan, self.page_records)
             if denc is not None:
-                dict_page, data_page = _dict_pages(sh, plan, denc, gzip=self.gzip)
+                dict_page = _dictionary_page(denc.dictionary, plan.physical, self.gzip)
                 dict_offset = self._pos
                 self._f.write(dict_page)
-                data_offset = self._pos + len(dict_page)
-                self._f.write(data_page)
-                chunk_len = len(dict_page) + len(data_page)
+                chunk_len += len(dict_page)
+                data_offset = self._pos + chunk_len
+                indices = np.asarray(denc.indices, dtype=np.uint64)
+                width = max((len(denc.dictionary) - 1).bit_length(), 1)
+                for page_sh, v0, v1 in pages:
+                    page = _dict_data_page(page_sh, plan, indices[v0:v1], width, self.gzip)
+                    self._f.write(page)
+                    chunk_len += len(page)
                 encodings.append(_ENC_RLE_DICT)
             else:
-                page = _data_page(sh, plan, int96=use_int96, gzip=self.gzip)
                 data_offset = self._pos
-                self._f.write(page)
-                chunk_len = len(page)
+                for page_sh, _, _ in pages:
+                    page = _data_page(page_sh, plan, int96=use_int96, gzip=self.gzip)
+                    self._f.write(page)
+                    chunk_len += len(page)
             self._pos += chunk_len
             total += chunk_len
             stats = None if use_int96 else _statistics(sh, plan)

@@ -152,6 +152,36 @@ def test_dictionary_pages(tmp_path):
     assert duckdb.sql(f"select count(distinct lang) from '{p_dict}'").fetchone()[0] == 5
 
 
+def test_multi_page_chunks(tmp_path):
+    """Column chunks split into bounded pages at record boundaries —
+    readers must not need to buffer a whole row group's column."""
+    from cpp_parquet_spark.parquet_writer import ParquetWriter
+
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "pages.parquet")
+    w = ParquetWriter(path, src.schema, page_records=500)
+    w.write_row_group(src)
+    w.close()
+    back = pq.read_table(path)
+    for name in src.schema.names:
+        assert (
+            back.column(name).combine_chunks().to_pylist()
+            == src.column(name).combine_chunks().to_pylist()
+        ), name
+    # nested column: pages must start at rep==0 (record) boundaries
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    path2 = str(tmp_path / "pages_nested.parquet")
+    w = ParquetWriter(path2, emb.schema, page_records=77)
+    w.write_row_group(emb)
+    w.close()
+    be = pq.read_table(path2)
+    assert (
+        be.column("embedding").combine_chunks().to_pylist()
+        == emb.column("embedding").combine_chunks().to_pylist()
+    )
+    assert duckdb.sql(f"select count(*) from '{path2}'").fetchone()[0] == emb.num_rows
+
+
 def test_gzip_compression(tmp_path):
     """Opt-in GZIP page compression (zlib is the only codec library in
     this environment): smaller files, same values in both readers."""
