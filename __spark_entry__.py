@@ -348,6 +348,23 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap) — the batch oracle
+    of the applyInPandasWithState streaming operator
+    (streaming.sessionize_stream); micros-exact on both sides."""
+    from cpp_parquet_spark.streaming import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(events, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # encoder engine (SURVEY.md §2 operators, end-to-end)
@@ -370,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
         "decoded_join_revenue": _q_decoded_join_revenue,
         # real Parquet wire output (O13/O15/O21 complete)
         "parquet_file_roundtrip": _q_parquet_file_roundtrip,
@@ -566,6 +584,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[1] AS DOUBLE) AS first_val,
                    CAST(embedding[-1] AS DOUBLE) AS last_val
             FROM embeddings
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "embedding_near_dup": """
             WITH all_emb AS (

@@ -87,6 +87,148 @@ def stream_to_parquet(
     return writer.start()
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when a
+    user's inter-event gap exceeds ``gap_minutes``.  Window functions
+    only — fully SQL-expressible, the oracle for the streaming variant.
+
+    One shuffle on user_id; at 100 TB the per-user state is a sort
+    within partitions, no driver involvement.
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    # gap math in microseconds: the event timestamps carry sub-second
+    # precision, and second-truncating casts would disagree with both
+    # the streaming variant and the SQL oracle on borderline gaps
+    is_new = (
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > gap_minutes * 60 * 1_000_000)
+    ).cast("long")
+    sid = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState``: per-user open-session state, sessions
+    emitted when closed by a later event's gap or by event-time timeout.
+    State per user is O(1) (start, last_ts, count, sum) — bounded
+    regardless of stream length; the watermark bounds how long an open
+    session lingers.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),  # micros
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import datetime as dt
+
+        (user_id,) = key
+        sessions = []
+
+        def emit(s):
+            sessions.append(
+                (
+                    user_id,
+                    dt.datetime.utcfromtimestamp(s[0] / 1e6),
+                    dt.datetime.utcfromtimestamp(s[1] / 1e6),
+                    s[2],
+                    round(s[3], 2),
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                emit(tuple(state.get))
+                state.remove()
+        else:
+            import numpy as np
+
+            cur = tuple(state.get) if state.exists else None
+            parts = [(p["ts"].astype("int64").to_numpy() // 1000, p["value"].to_numpy()) for p in pdf_iter]
+            ts_us = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+            vals = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
+            order = np.argsort(ts_us, kind="stable")
+            ts_us, vals = ts_us[order], vals[order]
+            m = len(ts_us)
+            if m:
+                # vectorized gaps-and-islands; Python touches sessions, not events
+                brk = np.ones(m, dtype=bool)
+                brk[1:] = np.diff(ts_us) > gap_us
+                starts = np.flatnonzero(brk)
+                ends = np.append(starts[1:], m)
+                sums = np.add.reduceat(vals, starts)
+                groups = [
+                    (int(ts_us[s]), int(ts_us[e - 1]), int(e - s), float(sums[i]))
+                    for i, (s, e) in enumerate(zip(starts, ends))
+                ]
+                if cur is not None:
+                    if ts_us[0] - cur[1] <= gap_us:  # first group continues the open session
+                        g = groups[0]
+                        groups[0] = (cur[0], g[1], cur[2] + g[2], cur[3] + g[3])
+                    else:
+                        emit(cur)
+                for g in groups[:-1]:
+                    emit(g)
+                cur = groups[-1]
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", watermark)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def windowed_event_stats(events: DataFrame, watermark: str = "10 minutes", window: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation over the driver's events
     table shape (event_id, ts, user_id, event_type, value, props) —

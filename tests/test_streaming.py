@@ -61,6 +61,61 @@ def test_windowed_event_stats_batch_semantics(spark):
     assert all(r["window_end"] > r["window_start"] for r in out)
 
 
+def test_sessionize_batch_semantics(spark):
+    from cpp_parquet_spark.streaming import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = sessionize(events, gap_minutes=30).collect()
+    assert sum(r["n_events"] for r in s) == events.count()
+    for r in s:
+        assert r["session_end"] >= r["session_start"]
+    # sessions of one user are separated by more than the gap
+    by_user = {}
+    for r in s:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import datetime as dt
+
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_start"])
+        for a, b in zip(rows, rows[1:]):
+            assert (b["session_start"] - a["session_end"]) > dt.timedelta(minutes=30)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessions == batch gaps-and-islands for
+    every session the stream closes (open sessions at end-of-stream may
+    stay in state if no timeout fires)."""
+    from cpp_parquet_spark.streaming import sessionize, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "ev")
+    # multiple files so sessions span micro-batches
+    events.orderBy("ts").coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["total_value"], 2))
+        for r in spark.sql("select * from sess").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["total_value"], 2))
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert got <= batch, f"stream emitted sessions not in batch: {list(got - batch)[:3]}"
+    # the stream must close the overwhelming majority (all but per-user tails)
+    n_users = events.select("user_id").distinct().count()
+    assert len(got) >= len(batch) - n_users
+
+
 def test_windowed_event_stats_streaming_drops_state(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src_dir = str(tmp_path / "ev")
