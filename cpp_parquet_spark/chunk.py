@@ -30,7 +30,7 @@ from cpp_parquet_spark.schema_plan import ColumnPlan
 
 MAGIC = b"SGC1"
 
-CODECS = ("plain", "dict", "rle", "fsst", "for", "lined", "delta", "alpha")
+CODECS = ("plain", "dict", "rle", "fsst", "for", "lined", "delta", "alpha", "boolpack")
 _CODEC_ID = {name: i for i, name in enumerate(CODECS)}
 
 
@@ -57,6 +57,13 @@ def _encode_values(values: pa.Array, codec: str, physical: str) -> bytes:
         if physical != "BYTE_ARRAY":
             raise ValueError("alpha only applies to BYTE_ARRAY columns")
         return encode_alpha(values)
+    if codec == "boolpack":
+        if physical != "BOOLEAN":
+            raise ValueError("boolpack only applies to BOOLEAN columns")
+        # LSB-first bit packing — 8x vs the reference's byte-per-value
+        # PLAIN baseline (parquet-column.cc:282-284) and identical to
+        # real Parquet's PLAIN boolean layout
+        return np.packbits(np.asarray(values, dtype=bool), bitorder="little").tobytes()
     if codec in ("for", "delta"):
         from cpp_parquet_spark.kernels.forpack import encode_delta, encode_for
 
@@ -86,6 +93,9 @@ def _decode_values(buf: bytes, n: int, codec: str, physical: str, arrow_type: pa
         from cpp_parquet_spark.kernels.alpha import decode_alpha
 
         return decode_alpha(buf, n, arrow_type)
+    if codec == "boolpack":
+        bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n, bitorder="little")
+        return pa.array(bits.astype(bool), type=arrow_type)
     if codec in ("for", "delta"):
         from cpp_parquet_spark.kernels.forpack import decode_delta, decode_for
 

@@ -137,7 +137,12 @@ def shortlist(stats: ColumnStats, physical: str) -> list[str]:
         if s.int_range_bits < type_bits - 8:
             cands.append("for")
         cands.append("plain")
-    else:  # FLOAT/DOUBLE/BOOLEAN
+    elif physical == "BOOLEAN":
+        if runny:
+            cands.append("rle")
+        cands.append("boolpack")  # 8x vs the byte-per-value baseline, always
+        cands.append("plain")
+    else:  # FLOAT/DOUBLE
         if runny:
             cands.append("rle")
         if low_card:

@@ -94,6 +94,19 @@ def test_chunk_lined_empty_and_trailing_newlines():
     _chunk_rt(pa.field("s", pa.string(), nullable=False), data, "lined")
 
 
+def test_chunk_booleans_bitpack():
+    data = [bool((i * 7) % 3) for i in range(1000)]
+    f = pa.field("b", pa.bool_(), nullable=False)
+    blob, meta = _chunk_rt(f, data, "boolpack")
+    assert meta.encoded_bytes < meta.plain_bytes / 6  # ~8x vs byte-per-value
+    # nullable booleans: def levels + packed non-null values
+    data_n = [None if i % 5 == 0 else bool(i % 2) for i in range(500)]
+    _chunk_rt(pa.field("b", pa.bool_(), nullable=True), data_n, "boolpack")
+    # auto mode picks a sub-byte codec for booleans
+    arr = pa.array(data, type=pa.bool_())
+    assert select_codec(arr, "BOOLEAN") in ("boolpack", "rle")
+
+
 def test_selector_low_cardinality_runny():
     # constant-ish column -> run-based codec (rle and dict are within a
     # few bytes of each other here; both are >100x smaller than plain)
