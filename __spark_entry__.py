@@ -315,6 +315,25 @@ def _q_parquet_file_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_sample (vectorized byte-slice 'keyframes') oracle: on
+    ASCII payloads byte offsets == char offsets, so DuckDB's VARCHAR
+    substring reproduces the slices exactly (DuckDB has no BLOB
+    substring); the ASCII guard is applied identically on both sides."""
+    from cpp_parquet_spark.pipeline.multimodal import frame_sample, synthetic_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    media = synthetic_media(docs)
+    frames = frame_sample(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.decode("frame", "utf-8").alias("frame_str"),
+    )
+
+
 def _q_decoded_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + aggregation over *decoded* tables: customer and orders
     both pass through encode→decode, then feed a normal Catalyst
@@ -386,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_similarity_ivf,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "decoded_join_revenue": _q_decoded_join_revenue,
@@ -584,6 +604,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[1] AS DOUBLE) AS first_val,
                    CAST(embedding[-1] AS DOUBLE) AS last_val
             FROM embeddings
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS len
+              FROM documents
+              WHERE doc_id % 3 = 2 AND length(text) = strlen(text)
+            )
+            SELECT media_id,
+                   CAST(i AS INT) AS frame_idx,
+                   substring(text, i * greatest(len // 4, 1) + 1, 16) AS frame_str
+            FROM m, unnest(range(least(4, len))) AS t(i)
         """,
         "events_sessionize": """
             WITH e AS (
