@@ -3,10 +3,18 @@
 Engine: cpp_parquet_spark — a from-scratch PySpark-native columnar
 lightweight-compression engine (see SURVEY.md).  The flagship path is
 encode_pipeline: repartition by (lang, repo, salt) → vectorized Arrow
-shred+encode (dict/rle/fsst/for/plain with auto-selection) → chunk
-metadata table; decode_dataframe is the exact inverse and every
-`roundtrip_*` query returns data that has physically passed through
-the codecs.
+shred+encode (dict/rle/fsst/lined/alpha/for/delta/boolpack/plain with
+auto-selection) → chunk metadata table; decode_dataframe is the exact
+inverse and every `roundtrip_*` query returns data that has physically
+passed through the codecs.
+
+Round-2 surfaces: `parquet_file_*` queries write REAL .parquet files
+(PAR1 + Thrift footer + dictionary pages + statistics) through the
+distributed sink and read them back with Spark's own reader — the
+reference's independent-parser oracle; the LSH/ANN family
+(minhash/simhash/hyperplane/IVF) carries planted-pair oracles; and
+`events_sessionize` is the batch oracle of the applyInPandasWithState
+streaming sessionizer.
 """
 
 from __future__ import annotations

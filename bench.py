@@ -194,7 +194,7 @@ def scale_worker(cores: int) -> None:
     spark = make_session(cores)
     warm_workers(spark, f"{WORK}/input.parquet")
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t = run_encode(spark, f"{WORK}/input.parquet", num_partitions=64, repeat_input=2)[0]
         times.append(round(t, 3))
     hard_stop(spark)
