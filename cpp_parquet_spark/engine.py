@@ -88,7 +88,12 @@ def _arrow_schema_for(df: DataFrame) -> pa.Schema:
 
 
 def _encode_table(
-    table: pa.Table, plans: list[ColumnPlan], codec_mode: str, part_id: int, chunk_id: int
+    table: pa.Table,
+    plans: list[ColumnPlan],
+    codec_mode: str,
+    part_id: int,
+    chunk_id: int,
+    memo: dict | None = None,
 ) -> pa.RecordBatch:
     from cpp_parquet_spark.chunk import serialize_chunk
     from cpp_parquet_spark.kernels.levels import shred
@@ -103,13 +108,29 @@ def _encode_table(
         col = table.column(plan.path[0])
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         sh = shred(arr, plan)
-        codec = select_codec(sh.values, plan.physical, mode=codec_mode)
+        # per-task codec memo: at pipeline chunk sizes the trial-encode
+        # selection costs as much as encoding itself; consecutive chunks
+        # of one partition are near-identically distributed (the shuffle
+        # clusters them), so reuse the last choice and fall back below
+        # if it drifts
+        memoized = memo is not None and plan.dotted in memo
+        if memoized:
+            codec = memo[plan.dotted]
+        else:
+            codec = select_codec(sh.values, plan.physical, mode=codec_mode)
+            if memo is not None:
+                memo[plan.dotted] = codec
         try:
             blob, meta = serialize_chunk(sh, codec)
         except (ValueError, TypeError, pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
             # a sample-based codec assumption failed on the full chunk
             # (e.g. alpha alphabet overflow) — PLAIN always works
             codec = "plain"
+            blob, meta = serialize_chunk(sh, codec)
+        if memoized and meta.encoded_bytes > meta.plain_bytes:
+            # drift guard: the memoized codec lost to PLAIN — reselect
+            codec = select_codec(sh.values, plan.physical, mode=codec_mode)
+            memo[plan.dotted] = codec
             blob, meta = serialize_chunk(sh, codec)
         rows.append(
             (
@@ -165,11 +186,15 @@ def encode_dataframe(
         pending_rows = 0
         chunk_id = 0
         cur_part = task_part
+        memo: dict = {}  # column -> codec, refreshed every _RESELECT chunks
+        _RESELECT = 16
 
         def flush() -> pa.RecordBatch:
             nonlocal pending, pending_rows, chunk_id
+            if chunk_id % _RESELECT == 0:
+                memo.clear()
             tbl = pa.Table.from_batches(pending)
-            out = _encode_table(tbl, plans, codec, cur_part, chunk_id)
+            out = _encode_table(tbl, plans, codec, cur_part, chunk_id, memo=memo)
             chunk_id += 1
             pending, pending_rows = [], 0
             return out
@@ -195,6 +220,7 @@ def encode_dataframe(
                         yield flush()
                     chunk_id = 0  # chunk ids start at 0 per partition, even
                     # when the previous part ended exactly on a flush
+                    memo.clear()  # new partition: data distribution changes
                 cur_part = pval
                 pending.append(data.slice(int(piece[0]), len(piece)))
                 pending_rows += len(piece)
