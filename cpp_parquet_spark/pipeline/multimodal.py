@@ -132,6 +132,80 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
     return media.mapInArrow(run, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8, mode: str = "fake") -> DataFrame:
+    """Image 'resize' over the opaque payload column.
+
+    mode="real" raises at the PIL seam (no image libraries in this
+    container); mode="fake" nearest-neighbor-samples the payload bytes
+    as if they were a (height×width) single-channel bitmap using the
+    typed metadata — the Spark plumbing (schema, zero-copy binary
+    output, batch-wide index math) is the real deliverable.
+    """
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("out_w", IntegerType(), False),
+            StructField("out_h", IntegerType(), False),
+            StructField("pixels", BinaryType(), False),
+        ]
+    )
+    arrow_out = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("out_w", pa.int32()),
+            ("out_h", pa.int32()),
+            ("pixels", pa.binary()),
+        ]
+    )
+    out_px = out_w * out_h
+
+    def run(batches):
+        import numpy as np
+
+        for b in batches:
+            if mode == "real":
+                raise NotImplementedError("real image decode requires PIL; use mode='fake'")
+            n = b.num_rows
+            if n == 0:
+                continue
+            lens, payload = _payload_components(b.column("payload"))
+            starts = np.cumsum(lens) - lens
+            w = np.asarray(b.column("width"), dtype=np.int64)
+            h = np.asarray(b.column("height"), dtype=np.int64)
+            # nearest-neighbor grid per row, batch-wide: src(i,j) =
+            # (i*h//out_h)*w + (j*w//out_w), clamped into the payload
+            ii = np.arange(out_h, dtype=np.int64)
+            jj = np.arange(out_w, dtype=np.int64)
+            src_i = (ii[None, :] * h[:, None]) // out_h  # [n, out_h]
+            src_j = (jj[None, :] * w[:, None]) // out_w  # [n, out_w]
+            flat = src_i[:, :, None] * w[:, None, None] + src_j[:, None, :]  # [n,out_h,out_w]
+            flat = np.minimum(flat.reshape(n, out_px), np.maximum(lens - 1, 0)[:, None])
+            idx = np.minimum(starts[:, None] + flat, max(len(payload) - 1, 0))
+            pix = payload[idx.ravel()] if len(payload) else np.zeros(n * out_px, np.uint8)
+            empty = lens == 0
+            if empty.any():
+                pix = pix.copy()
+                pix.reshape(n, out_px)[empty] = 0
+            offsets = np.arange(n + 1, dtype=np.int32) * out_px
+            pixels = pa.Array.from_buffers(
+                pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(pix.tobytes())]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("media_id").cast(pa.int64()),
+                    pa.array(np.full(n, out_w, dtype=np.int32)),
+                    pa.array(np.full(n, out_h, dtype=np.int32)),
+                    pixels,
+                ],
+                schema=arrow_out,
+            )
+
+    images = media.filter(F.col("media_type") == "image/png")
+    return images.mapInArrow(run, out_schema)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """'Frame' sampling stub: slices the payload at even offsets — the
     real implementation would seek keyframes; the partitioning/UDF shape

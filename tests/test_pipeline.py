@@ -227,6 +227,24 @@ def test_multimodal_features_and_frames(spark):
     assert all(len(r["frame"]) <= 16 for r in frames)
 
 
+def test_multimodal_resize(spark):
+    from cpp_parquet_spark.pipeline.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(_docs(spark).limit(60))
+    out = resize_images(media, out_w=8, out_h=8).collect()
+    n_images = media.filter(F.col("media_type") == "image/png").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert len(r["pixels"]) == 64
+    # deterministic
+    out2 = resize_images(media, out_w=8, out_h=8).collect()
+    assert sorted(map(repr, out)) == sorted(map(repr, out2))
+    # real mode stays gated at the PIL seam
+    with pytest.raises(Exception) as exc:
+        resize_images(media, mode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "image decode" in str(exc.value)
+
+
 def test_multimodal_real_mode_is_gated(spark):
     from cpp_parquet_spark.pipeline.multimodal import extract_features, synthetic_media
     from py4j.protocol import Py4JJavaError
