@@ -124,6 +124,23 @@ def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- training-data pipeline ops
 
+def _q_plain_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12/O17 as a SQL-checkable invariant: the engine's per-column
+    value-level PLAIN accounting (ColumnDataSizeInBytes semantics,
+    parquet-column.cc:367-381: Σ(4+len) for BYTE_ARRAY) summed over the
+    whole distributed encode must equal DuckDB's arithmetic recomputation
+    on the raw table — independent of chunking/partitioning."""
+    from cpp_parquet_spark.datagen import source_repos_from_documents
+    from cpp_parquet_spark.engine import encode_pipeline
+
+    src = source_repos_from_documents(spark, sf_dir)
+    chunks = encode_pipeline(src, num_partitions=8)
+    return chunks.groupBy("column").agg(
+        F.sum("num_rows").alias("n_rows"),
+        F.sum("plain_value_bytes").alias("plain_value_bytes"),
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpp_parquet_spark.pipeline.text import text_stats
 
@@ -400,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_orders_nulls": _q_roundtrip_orders_nulls,
         "codec_selection": _q_codec_selection,
+        "plain_size_accounting": _q_plain_size_accounting,
         # training-data pipeline ops
         "text_stats": _q_text_stats,
         "quality_features": _q_quality_features,
@@ -460,6 +478,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END), 2) AS sum_price,
                    count(DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio_distinct
             FROM orders
+        """,
+        "plain_size_accounting": """
+            SELECT 'repo' AS "column", count(*) AS n_rows,
+                   CAST(sum(4 + strlen(source)) AS BIGINT) AS plain_value_bytes
+            FROM documents
+            UNION ALL
+            SELECT 'path', count(*),
+                   CAST(sum(4 + strlen(concat('doc/', doc_id, '.txt'))) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'commit', count(*), CAST(sum(44) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*),
+                   CAST(sum(4 + strlen(lang)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'content', count(*),
+                   CAST(sum(4 + strlen(text)) AS BIGINT) FROM documents
         """,
         "text_stats": """
             SELECT doc_id,

@@ -114,6 +114,8 @@ class ChunkMeta:
     num_values: int
     encoded_bytes: int
     plain_bytes: int  # what the reference PLAIN layout would occupy
+    plain_value_bytes: int  # values only (no header/levels): Σ(4+len) /
+    # n*width — chunking-independent, so SQL can recompute it exactly
 
 
 def serialize_chunk(sh: ShreddedColumn, codec: str) -> tuple[bytes, ChunkMeta]:
@@ -142,12 +144,14 @@ def serialize_chunk(sh: ShreddedColumn, codec: str) -> tuple[bytes, ChunkMeta]:
     data = _encode_values(sh.values, codec, plan.physical)
     out += len(data).to_bytes(4, "little")
     out += data
+    pvb = plain_size(sh.values, plan.physical)
     meta = ChunkMeta(
         codec=codec,
         num_entries=sh.num_entries,
         num_values=len(sh.values),
         encoded_bytes=len(out),
-        plain_bytes=16 + level_bytes + 4 + plain_size(sh.values, plan.physical),
+        plain_bytes=16 + level_bytes + 4 + pvb,
+        plain_value_bytes=pvb,
     )
     return bytes(out), meta
 

@@ -55,6 +55,7 @@ CHUNK_SCHEMA = StructType(
         StructField("num_entries", LongType(), False),
         StructField("num_values", LongType(), False),
         StructField("plain_bytes", LongType(), False),
+        StructField("plain_value_bytes", LongType(), False),
         StructField("encoded_bytes", LongType(), False),
         StructField("encode_ms", LongType(), False),
         StructField("payload", BinaryType(), False),
@@ -72,6 +73,7 @@ _CHUNK_ARROW = pa.schema(
         ("num_entries", pa.int64()),
         ("num_values", pa.int64()),
         ("plain_bytes", pa.int64()),
+        ("plain_value_bytes", pa.int64()),
         ("encoded_bytes", pa.int64()),
         ("encode_ms", pa.int64()),
         ("payload", pa.binary()),
@@ -143,6 +145,7 @@ def _encode_table(
                 meta.num_entries,
                 meta.num_values,
                 meta.plain_bytes,
+                meta.plain_value_bytes,
                 meta.encoded_bytes,
                 int((time.time() - t0) * 1000),
                 blob,
