@@ -28,7 +28,11 @@ from cpp_parquet_spark.kernels.plain import decode_plain, encode_plain, plain_si
 from cpp_parquet_spark.kernels.rle_runs import decode_rle_runs, encode_rle_runs
 from cpp_parquet_spark.schema_plan import ColumnPlan
 
-MAGIC = b"SGC1"
+# SGC2: the PLAIN BYTE_ARRAY section changed layout in round 2
+# (interleaved u32 prefixes -> FOR lengths block + contiguous payload).
+# EncodeJob supports cross-run resume, so chunk stores persisted by the
+# old layout must be rejected loudly, not misdecoded — hence the bump.
+MAGIC = b"SGC2"
 
 CODECS = ("plain", "dict", "rle", "fsst", "for", "lined", "delta", "alpha", "boolpack")
 _CODEC_ID = {name: i for i, name in enumerate(CODECS)}
@@ -159,6 +163,11 @@ def serialize_chunk(sh: ShreddedColumn, codec: str) -> tuple[bytes, ChunkMeta]:
 def deserialize_chunk(buf: bytes, plan: ColumnPlan) -> ShreddedColumn:
     mv = memoryview(buf)
     if mv[0:4] != MAGIC:
+        if bytes(mv[0:3]) == MAGIC[:3]:  # an SGC chunk from another layout version
+            raise ValueError(
+                f"chunk format {bytes(mv[0:4])!r} does not match this build's {MAGIC!r}; "
+                "re-encode the store (the PLAIN BYTE_ARRAY layout changed)"
+            )
         raise ValueError("bad chunk magic")
     codec = CODECS[mv[5]]
     pos = 8

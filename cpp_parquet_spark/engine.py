@@ -130,10 +130,17 @@ def _encode_table(
             codec = "plain"
             blob, meta = serialize_chunk(sh, codec)
         if memoized and meta.encoded_bytes > meta.plain_bytes:
-            # drift guard: the memoized codec lost to PLAIN — reselect
+            # drift guard: the memoized codec lost to PLAIN — reselect.
+            # The reselected codec gets the same failure fallback as the
+            # first attempt (a sample-based choice can still fail on the
+            # full chunk, e.g. alpha alphabet overflow).
             codec = select_codec(sh.values, plan.physical, mode=codec_mode)
+            try:
+                blob, meta = serialize_chunk(sh, codec)
+            except (ValueError, TypeError, pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+                codec = "plain"
+                blob, meta = serialize_chunk(sh, codec)
             memo[plan.dotted] = codec
-            blob, meta = serialize_chunk(sh, codec)
         rows.append(
             (
                 part_id,

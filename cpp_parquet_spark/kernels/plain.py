@@ -75,6 +75,11 @@ def encode_plain(values: pa.Array, physical: str) -> bytes:
 def decode_plain(buf: bytes, n: int, physical: str, arrow_type: pa.DataType) -> pa.Array:
     if physical != "BYTE_ARRAY":
         arr = np.frombuffer(buf, dtype=_FIXED_NP[physical], count=n)
+        if pa.types.is_unsigned_integer(arrow_type):
+            # unsigned columns are stored as the raw two's-complement
+            # bit pattern of their physical width — reinterpret, don't
+            # value-cast (negatives would overflow)
+            arr = arr.view(np.dtype(f"<u{arr.dtype.itemsize}"))
         if pa.types.is_date(arrow_type):  # no int64->date32 cast path needed:
             return pa.array(arr, type=pa.int32()).cast(arrow_type)
         if pa.types.is_timestamp(arrow_type):

@@ -63,7 +63,8 @@ _REQUIRED, _OPTIONAL, _REPEATED = 0, 1, 2
 _ENC_PLAIN, _ENC_RLE = 0, 3
 _PAGE_DATA = 0
 _CODEC_UNCOMPRESSED = 0
-_CONV_UTF8, _CONV_LIST, _CONV_DATE, _CONV_TS_MICROS = 0, 3, 6, 10
+_CONV_UTF8, _CONV_LIST, _CONV_DATE = 0, 3, 6
+_CONV_TS_MILLIS, _CONV_TS_MICROS = 9, 10
 _CONV_INT = {"int8": 15, "int16": 16, "uint8": 11, "uint16": 12, "uint32": 13, "uint64": 14}
 
 
@@ -72,10 +73,23 @@ def _logical(member_fid: int, member: bytes = tc.struct()) -> bytes:
     return tc.struct(tc.f_struct(member_fid, member))
 
 
-def _logical_timestamp(adjusted_to_utc: bool) -> bytes:
-    micros = tc.struct(tc.f_struct(2, tc.struct()))  # TimeUnit{2: MICROS{}}
-    ts = tc.struct(tc.f_bool(1, adjusted_to_utc), tc.f_struct(2, micros))
+def _logical_timestamp(adjusted_to_utc: bool, unit_fid: int) -> bytes:
+    """TimeUnit member fid: 1=MILLIS, 2=MICROS, 3=NANOS."""
+    unit = tc.struct(tc.f_struct(unit_fid, tc.struct()))
+    ts = tc.struct(tc.f_bool(1, adjusted_to_utc), tc.f_struct(2, unit))
     return _logical(8, ts)  # LogicalType{8: TIMESTAMP}
+
+
+# Arrow timestamp unit -> (TimeUnit member fid, converted_type or None).
+# Values are written raw in the source unit and the footer declares that
+# same unit, so no unit is ever silently rescaled; 's' has no Parquet
+# TimeUnit and is cast to 'us' at write time (exact).  Nanos has a
+# logical type but no converted type in the spec.
+_TS_UNIT = {
+    "ms": (1, _CONV_TS_MILLIS),
+    "us": (2, _CONV_TS_MICROS),
+    "ns": (3, None),
+}
 
 
 def _leaf_type_info(t: pa.DataType) -> tuple[int, int | None, bytes | None]:
@@ -84,7 +98,10 @@ def _leaf_type_info(t: pa.DataType) -> tuple[int, int | None, bytes | None]:
         return _T_BOOLEAN, None, None
     name = str(t)
     if name in _CONV_INT:
-        return (_T_INT32 if name in ("int8", "int16", "uint8", "uint16") else _T_INT64), _CONV_INT[name], None
+        # unsigned ints annotate the physical type of their own width
+        # (UINT_32 may only annotate INT32); values are the raw
+        # two's-complement bit pattern
+        return (_T_INT64 if name == "uint64" else _T_INT32), _CONV_INT[name], None
     if pa.types.is_int32(t):
         return _T_INT32, None, None
     if pa.types.is_int64(t):
@@ -101,7 +118,9 @@ def _leaf_type_info(t: pa.DataType) -> tuple[int, int | None, bytes | None]:
         return _T_INT32, _CONV_DATE, _logical(6)  # DATE
     if pa.types.is_timestamp(t):
         utc = t.tz is not None
-        return _T_INT64, (_CONV_TS_MICROS if utc else None), _logical_timestamp(utc)
+        unit = "us" if t.unit == "s" else t.unit  # seconds cast at write time
+        unit_fid, conv = _TS_UNIT[unit]
+        return _T_INT64, (conv if utc else None), _logical_timestamp(utc, unit_fid)
     raise TypeError(f"unsupported parquet leaf type: {t}")
 
 
@@ -190,9 +209,16 @@ def _page_values_plain(values: pa.Array, physical: str, int96: bool = False) -> 
 
 
 _ENC_RLE_DICT = 8
+_ENC_DELTA_LENGTH_BA = 6
 _PAGE_DICT = 2
 _MAX_STAT_BYTES = 64
 _CODEC_GZIP = 2
+
+
+def _delta_length_byte_array(values: pa.Array) -> bytes:
+    from cpp_parquet_spark.kernels.deltabp import encode_delta_length_byte_array
+
+    return encode_delta_length_byte_array(values)
 
 
 def _gzip(data: bytes) -> bytes:
@@ -216,7 +242,9 @@ def _levels_block(sh: ShreddedColumn, plan: ColumnPlan) -> bytearray:
     return body
 
 
-def _page(page_type: int, body: bytes, dph: bytes, dph_fid: int, gzip: bool) -> bytes:
+def _page(page_type: int, body: bytes, dph: bytes, dph_fid: int, gzip: bool) -> tuple[bytes, int]:
+    """Returns (framed page bytes, uncompressed size incl. header) —
+    the second feeds ColumnMetaData.total_uncompressed_size."""
     raw_len = len(body)
     if gzip:
         body = _gzip(bytes(body))
@@ -226,23 +254,28 @@ def _page(page_type: int, body: bytes, dph: bytes, dph_fid: int, gzip: bool) -> 
         tc.f_i32(3, len(body)),  # compressed_page_size
         tc.f_struct(dph_fid, dph),
     )
-    return header + bytes(body)
+    return header + bytes(body), len(header) + raw_len
 
 
-def _data_page(sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False, gzip: bool = False) -> bytes:
-    """One v1 data page: PageHeader + level blocks + PLAIN values."""
+def _data_page(
+    sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False, gzip: bool = False, encoding: int = _ENC_PLAIN
+) -> tuple[bytes, int]:
+    """One v1 data page: PageHeader + level blocks + encoded values."""
     body = _levels_block(sh, plan)
-    body += _page_values_plain(sh.values, plan.physical, int96=int96)
+    if encoding == _ENC_DELTA_LENGTH_BA:
+        body += _delta_length_byte_array(sh.values)
+    else:
+        body += _page_values_plain(sh.values, plan.physical, int96=int96)
     dph = tc.struct(
         tc.f_i32(1, sh.num_entries),  # num_values incl. nulls
-        tc.f_i32(2, _ENC_PLAIN),
+        tc.f_i32(2, encoding),
         tc.f_i32(3, _ENC_RLE),  # definition_level_encoding
         tc.f_i32(4, _ENC_RLE),  # repetition_level_encoding
     )
     return _page(_PAGE_DATA, body, dph, 5, gzip)
 
 
-def _dictionary_page(dictionary: pa.Array, physical: str, gzip: bool) -> bytes:
+def _dictionary_page(dictionary: pa.Array, physical: str, gzip: bool) -> tuple[bytes, int]:
     """Dict values PLAIN in a DICTIONARY_PAGE."""
     dict_body = encode_plain_parquet(dictionary, physical)
     return _page(
@@ -254,7 +287,7 @@ def _dictionary_page(dictionary: pa.Array, physical: str, gzip: bool) -> bytes:
     )
 
 
-def _dict_data_page(sh: ShreddedColumn, plan: ColumnPlan, indices: np.ndarray, width: int, gzip: bool) -> bytes:
+def _dict_data_page(sh: ShreddedColumn, plan: ColumnPlan, indices: np.ndarray, width: int, gzip: bool) -> tuple[bytes, int]:
     """Data page of dictionary indices: [u8 bit width][RLE/bit-packed
     hybrid] with RLE_DICTIONARY encoding — the engine's own hybrid coder
     (kernels/rle.py) IS the wire format."""
@@ -321,8 +354,13 @@ def _stat_bytes(scalar, t: pa.DataType) -> bytes | None:
     if pa.types.is_timestamp(t):
         return int(scalar.cast(pa.int64()).as_py()).to_bytes(8, "little", signed=True)
     if pa.types.is_integer(t):
-        width = 4 if pa.types.is_int32(t) or t.bit_width <= 32 else 8
-        return int(v).to_bytes(width, "little", signed=True)
+        # width follows the PHYSICAL type (uint32 is stored as INT64);
+        # unsigned values use the raw two's-complement bit pattern, the
+        # same bytes the data pages carry (uint64 >= 2**63 must not
+        # overflow a signed to_bytes)
+        width = 8 if t.bit_width == 64 else 4
+        signed = not pa.types.is_unsigned_integer(t)
+        return int(v).to_bytes(width, "little", signed=signed)
     if pa.types.is_float32(t):
         return np.float32(v).tobytes()
     if pa.types.is_float64(t):
@@ -363,9 +401,12 @@ def _statistics(sh: ShreddedColumn, plan: ColumnPlan) -> bytes | None:
         if mn is not None and mx is not None:
             # both the modern (5/6) and deprecated (1/2) field pairs:
             # Arrow C++ distrusts 5/6 from writers it cannot version-parse
-            # but accepts 1/2 (what DuckDB emits); DuckDB reads either
-            head.append(tc.f_binary(1, mx))  # max (deprecated)
-            head.append(tc.f_binary(2, mn))  # min (deprecated)
+            # but accepts 1/2 (what DuckDB emits); DuckDB reads either.
+            # The deprecated pair implies SIGNED sort order, which is
+            # wrong for unsigned logical types — omit it there.
+            if not pa.types.is_unsigned_integer(t):
+                head.append(tc.f_binary(1, mx))  # max (deprecated)
+                head.append(tc.f_binary(2, mn))  # min (deprecated)
             fields.append(tc.f_binary(5, mx))  # max_value
             fields.append(tc.f_binary(6, mn))  # min_value
     return tc.struct(*head, *fields)
@@ -387,6 +428,7 @@ class ParquetWriter:
         created_by: str = "cpp-parquet-spark",
         int96_timestamps: bool = False,
         use_dictionary: bool = True,
+        use_delta: bool = True,
         compression: str | None = None,
         page_records: int = 20_000,
     ):
@@ -396,6 +438,11 @@ class ParquetWriter:
         self.schema = schema
         self.int96 = int96_timestamps
         self.use_dictionary = use_dictionary
+        # DELTA_LENGTH_BYTE_ARRAY for non-dictionary string/binary
+        # chunks: packed lengths + contiguous payload instead of
+        # interleaved u32 prefixes — the wire form of the engine's own
+        # internal PLAIN layout (kernels/plain.py)
+        self.use_delta = use_delta
         self.gzip = compression == "gzip"
         self.page_records = page_records
         self.plans = plan_from_schema(schema)
@@ -419,6 +466,19 @@ class ParquetWriter:
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             sh = shred(arr, plan)
             use_int96 = self.int96 and pa.types.is_timestamp(plan.arrow_type)
+            vt = sh.values.type
+            if pa.types.is_timestamp(vt) and not use_int96 and vt.unit == "s":
+                # Parquet has no SECONDS TimeUnit; the footer declares
+                # MICROS for 's' columns (_leaf_type_info), so the values
+                # must be scaled to match — an exact cast.  ms/us/ns are
+                # written raw with their own declared unit.
+                sh = ShreddedColumn(
+                    plan=sh.plan,
+                    def_levels=sh.def_levels,
+                    rep_levels=sh.rep_levels,
+                    values=sh.values.cast(pa.timestamp("us", vt.tz)),
+                    num_entries=sh.num_entries,
+                )
             # dictionary-encode when the chunk is meaningfully repetitive
             denc = None
             if self.use_dictionary and not use_int96 and plan.physical != "BOOLEAN" and len(sh.values):
@@ -431,26 +491,34 @@ class ParquetWriter:
             encodings = [_ENC_PLAIN, _ENC_RLE]
             dict_offset = None
             chunk_len = 0
+            raw_len = 0  # uncompressed bytes (ColumnMetaData field 6)
             pages = _split_pages(sh, plan, self.page_records)
             if denc is not None:
-                dict_page = _dictionary_page(denc.dictionary, plan.physical, self.gzip)
+                dict_page, dict_raw = _dictionary_page(denc.dictionary, plan.physical, self.gzip)
                 dict_offset = self._pos
                 self._f.write(dict_page)
                 chunk_len += len(dict_page)
+                raw_len += dict_raw
                 data_offset = self._pos + chunk_len
                 indices = np.asarray(denc.indices, dtype=np.uint64)
                 width = max((len(denc.dictionary) - 1).bit_length(), 1)
                 for page_sh, v0, v1 in pages:
-                    page = _dict_data_page(page_sh, plan, indices[v0:v1], width, self.gzip)
+                    page, raw = _dict_data_page(page_sh, plan, indices[v0:v1], width, self.gzip)
                     self._f.write(page)
                     chunk_len += len(page)
+                    raw_len += raw
                 encodings.append(_ENC_RLE_DICT)
             else:
+                enc = _ENC_PLAIN
+                if self.use_delta and not use_int96 and plan.physical == "BYTE_ARRAY":
+                    enc = _ENC_DELTA_LENGTH_BA
+                    encodings = [_ENC_DELTA_LENGTH_BA, _ENC_RLE]
                 data_offset = self._pos
                 for page_sh, _, _ in pages:
-                    page = _data_page(page_sh, plan, int96=use_int96, gzip=self.gzip)
+                    page, raw = _data_page(page_sh, plan, int96=use_int96, gzip=self.gzip, encoding=enc)
                     self._f.write(page)
                     chunk_len += len(page)
+                    raw_len += raw
             self._pos += chunk_len
             total += chunk_len
             stats = None if use_int96 else _statistics(sh, plan)
@@ -460,8 +528,8 @@ class ParquetWriter:
                 tc.f_list(3, tc.T_BINARY, [tc.uvarint(len(p.encode())) + p.encode() for p in fpath]),
                 tc.f_i32(4, _CODEC_GZIP if self.gzip else _CODEC_UNCOMPRESSED),
                 tc.f_i64(5, sh.num_entries),
-                tc.f_i64(6, chunk_len),
-                tc.f_i64(7, chunk_len),
+                tc.f_i64(6, raw_len),  # total_uncompressed_size
+                tc.f_i64(7, chunk_len),  # total_compressed_size
                 tc.f_i64(9, data_offset),
                 tc.f_i64(11, dict_offset) if dict_offset is not None else None,
                 tc.f_struct(12, stats) if stats is not None else None,
@@ -507,18 +575,60 @@ class ParquetWriter:
                 self._f.close()
 
 
+def row_group_slices(
+    table: pa.Table, row_group_rows: int, row_group_bytes: int | None
+) -> list[pa.Table]:
+    """Greedy row-group packing.  With ``row_group_bytes`` set this is
+    the reference's kMaxDataBytesPerRowGroup semantics
+    (CalculateNumberOfRowGroups, parquet-file.cc:104-116 +
+    parquet-file.h:31 — vestigial there, its Flush never calls it):
+    pack rows until the next probe slice would push the group past the
+    byte target, using Arrow buffer sizes as the data-byte estimate.
+    Row-count remains a ceiling either way so level arrays stay bounded.
+    """
+    n = table.num_rows
+    if n == 0:
+        return [table]
+    if row_group_bytes is None:
+        return [table.slice(s, row_group_rows) for s in range(0, n, row_group_rows)]
+    probe = max(256, min(row_group_rows, n) // 64)
+    out: list[pa.Table] = []
+    start = pos = 0
+    acc = 0
+    while pos < n:
+        step = min(probe, n - pos, row_group_rows - (pos - start))
+        sz = table.slice(pos, step).nbytes
+        if pos > start and (acc + sz > row_group_bytes or pos - start >= row_group_rows):
+            out.append(table.slice(start, pos - start))
+            start, acc = pos, 0
+        pos += step
+        acc += sz
+    out.append(table.slice(start, pos - start))
+    return out
+
+
 def write_table(
     table: pa.Table,
     path: str,
     row_group_rows: int = 1 << 20,
+    row_group_bytes: int | None = None,
     int96_timestamps: bool = False,
     compression: str | None = None,
+    use_dictionary: bool = True,
+    use_delta: bool = True,
 ) -> dict:
     """Write an Arrow table as a real .parquet file (one call, N row groups)."""
-    w = ParquetWriter(path, table.schema, int96_timestamps=int96_timestamps, compression=compression)
+    w = ParquetWriter(
+        path,
+        table.schema,
+        int96_timestamps=int96_timestamps,
+        compression=compression,
+        use_dictionary=use_dictionary,
+        use_delta=use_delta,
+    )
     try:
-        for start in range(0, max(table.num_rows, 1), row_group_rows):
-            w.write_row_group(table.slice(start, row_group_rows))
+        for piece in row_group_slices(table, row_group_rows, row_group_bytes):
+            w.write_row_group(piece)
         return w.close()
     except BaseException:
         w._f.close()

@@ -37,7 +37,7 @@ _PHYSICAL = {
     "int64": "INT64",
     "uint8": "INT32",
     "uint16": "INT32",
-    "uint32": "INT64",
+    "uint32": "INT32",  # UINT_32 may only annotate INT32 (raw bit pattern)
     "uint64": "INT64",
     "float": "FLOAT",
     "double": "DOUBLE",

@@ -54,6 +54,7 @@ def write_dataset(
     df: DataFrame,
     directory: str,
     row_group_rows: int = DEFAULT_CHUNK_ROWS,
+    row_group_bytes: int | None = None,
     compression: str | None = None,
     use_dictionary: bool = True,
 ) -> DataFrame:
@@ -77,22 +78,30 @@ def write_dataset(
         buf: list[pa.RecordBatch] = []
         buf_rows = 0
 
+        buf_bytes = 0
+
         def flush() -> None:
-            nonlocal writer, buf, buf_rows
+            nonlocal writer, buf, buf_rows, buf_bytes
             tbl = pa.Table.from_batches(buf)
             if writer is None:
                 writer = ParquetWriter(
                     tmp, tbl.schema, compression=compression, use_dictionary=use_dictionary
                 )
             writer.write_row_group(tbl)
-            buf, buf_rows = [], 0
+            buf, buf_rows, buf_bytes = [], 0, 0
 
         for b in batches:
             if b.num_rows == 0:
                 continue
             buf.append(b)
             buf_rows += b.num_rows
-            if buf_rows >= row_group_rows:
+            buf_bytes += b.nbytes
+            # greedy packing: flush at the row ceiling, or — with a byte
+            # target set (the reference's kMaxDataBytesPerRowGroup,
+            # parquet-file.cc:104-116) — when data bytes reach it
+            if buf_rows >= row_group_rows or (
+                row_group_bytes is not None and buf_bytes >= row_group_bytes
+            ):
                 flush()
         if buf_rows:
             flush()
@@ -118,6 +127,7 @@ def write_parquet_dir(
     df: DataFrame,
     directory: str,
     row_group_rows: int = DEFAULT_CHUNK_ROWS,
+    row_group_bytes: int | None = None,
     compression: str | None = None,
     use_dictionary: bool = True,
 ) -> list:
@@ -127,6 +137,7 @@ def write_parquet_dir(
         df,
         directory,
         row_group_rows=row_group_rows,
+        row_group_bytes=row_group_bytes,
         compression=compression,
         use_dictionary=use_dictionary,
     ).collect()

@@ -9,6 +9,7 @@ source values exactly.
 """
 
 import datetime as dt
+import os
 
 import duckdb
 import pyarrow as pa
@@ -265,3 +266,104 @@ def test_real_testdata_roundtrip(table_name, tmp_path):
     a = duckdb.sql(f"select count(*) from '{path}'").fetchone()
     b = duckdb.sql(f"select count(*) from '/root/testdata/sf0.001/{table_name}.parquet'").fetchone()
     assert a == b
+
+
+def test_delta_length_byte_array_pages(tmp_path):
+    """Unique strings get DELTA_LENGTH_BYTE_ARRAY pages (public Parquet
+    spec Encodings.md — the wire form of the engine's internal
+    FOR-lengths PLAIN layout, kernels/plain.py); parsed by pyarrow AND
+    DuckDB, and strictly smaller than interleaved-prefix PLAIN."""
+    t = pa.table({"s": pa.array([f"value-{i:06d}-{'x' * (i % 37)}" for i in range(5000)])})
+    p_delta = str(tmp_path / "delta.parquet")
+    p_plain = str(tmp_path / "plain.parquet")
+    write_table(t, p_delta, use_dictionary=False, use_delta=True)
+    write_table(t, p_plain, use_dictionary=False, use_delta=False)
+    md = pq.ParquetFile(p_delta).metadata
+    assert "DELTA_LENGTH_BYTE_ARRAY" in md.row_group(0).column(0).encodings
+    assert pq.read_table(p_delta).column("s").to_pylist() == t.column("s").to_pylist()
+    assert duckdb.sql(f"select min(s), count(*) from '{p_delta}'").fetchone() == (
+        "value-000000-",
+        5000,
+    )
+    assert os.path.getsize(p_delta) < os.path.getsize(p_plain)
+
+
+def test_timestamp_units_not_rescaled(tmp_path):
+    """ms/ns columns keep their unit (footer declares MILLIS/NANOS);
+    's' is cast exactly to micros — no silent 1000x corruption."""
+    t = pa.table(
+        {
+            "ms": pa.array([1_234_567, 7_654_321], type=pa.int64()).cast(pa.timestamp("ms")),
+            "s": pa.array([3601, 7322], type=pa.int64()).cast(pa.timestamp("s")),
+            "ns": pa.array([987_654_321_123, 5], type=pa.int64()).cast(pa.timestamp("ns")),
+        }
+    )
+    p = str(tmp_path / "ts.parquet")
+    write_table(t, p)
+    back = pq.read_table(p)
+    assert back.column("ms").type == pa.timestamp("ms")
+    assert back.column("ns").type == pa.timestamp("ns")
+    assert back.column("s").type == pa.timestamp("us")
+    assert back.column("ms").to_pylist() == t.column("ms").to_pylist()
+    assert back.column("ns").to_pylist() == t.column("ns").to_pylist()
+    assert back.column("s").cast(pa.timestamp("s")).to_pylist() == t.column("s").to_pylist()
+    # DuckDB agrees on the wall-clock values
+    mx = duckdb.sql(f"select max(ms), max(s) from '{p}'").fetchone()
+    assert str(mx[0]).rstrip("0") == "1970-01-01 02:07:34.321"
+    assert str(mx[1]) == "1970-01-01 02:02:02"
+
+
+def test_unsigned_stats_and_values(tmp_path):
+    """uint64 >= 2**63 and uint32 >= 2**31 write without overflow, carry
+    unsigned statistics, and round-trip bit-exactly."""
+    t = pa.table(
+        {
+            "u64": pa.array([2**63 + 7, 5, 2**64 - 1], type=pa.uint64()),
+            "u32": pa.array([2**31 + 3, 1, 2**32 - 1], type=pa.uint32()),
+        }
+    )
+    p = str(tmp_path / "u.parquet")
+    write_table(t, p, use_dictionary=False)
+    back = pq.read_table(p)
+    assert back.column("u64").to_pylist() == t.column("u64").to_pylist()
+    assert back.column("u32").to_pylist() == t.column("u32").to_pylist()
+    # unsigned chunks omit the deprecated signed-sort min/max pair, so
+    # pyarrow (which distrusts modern 5/6 from unknown writers) reports
+    # no stats; DuckDB reads min_value/max_value — check via its
+    # footer reader
+    meta = duckdb.sql(
+        f"select stats_min_value, stats_max_value from parquet_metadata('{p}') "
+        "where path_in_schema = 'u64'"
+    ).fetchone()
+    assert meta == (str(5), str(2**64 - 1))
+    assert duckdb.sql(f"select max(u64), min(u32) from '{p}'").fetchone() == (2**64 - 1, 1)
+
+
+def test_byte_targeted_row_groups(tmp_path):
+    """row_group_bytes packs groups greedily by data bytes (the
+    reference's kMaxDataBytesPerRowGroup semantics, parquet-file.cc:
+    104-116, made non-vestigial): wide rows split into byte-bounded
+    groups parsed by both independent readers."""
+    wide = pa.table(
+        {
+            "id": pa.array(range(2000), type=pa.int64()),
+            "blob": pa.array(["z" * 500 for _ in range(2000)]),
+        }
+    )
+    p = str(tmp_path / "wide.parquet")
+    write_table(wide, p, row_group_bytes=100_000)
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups >= 5  # ~1 MB of data / 100 KB target
+    sizes = [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
+    assert max(sizes) < 300_000  # no group wildly past the target
+    assert pq.read_table(p).column("id").to_pylist() == list(range(2000))
+    assert duckdb.sql(f"select count(*) from '{p}'").fetchone() == (2000,)
+
+
+def test_uncompressed_size_differs_under_gzip(tmp_path):
+    t = pa.table({"s": pa.array([f"text {i} " * 20 for i in range(1000)])})
+    p = str(tmp_path / "gz.parquet")
+    write_table(t, p, compression="gzip", use_dictionary=False)
+    col = pq.ParquetFile(p).metadata.row_group(0).column(0)
+    assert col.total_uncompressed_size > col.total_compressed_size
+    assert pq.read_table(p).column("s").to_pylist() == t.column("s").to_pylist()
