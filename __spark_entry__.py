@@ -112,14 +112,51 @@ def _q_roundtrip_orders_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-leaf list-of-struct round trip: orders nested into
+    array<struct<o_orderkey, price, prio>> per customer (with nulls in
+    two leaves), encoded → decoded through the engine, then exploded
+    back to rows — every element value passes through per-leaf codecs
+    and the Dremel reassembly (the reference's nested matrix,
+    parquet-file-test.cc:515-600)."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderpriority")).alias("prio"),
+    )
+    nested = src.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("o_orderkey", "price", "prio")).alias("orders")
+    )
+    dec = decode_dataframe(encode_dataframe(nested, codec="auto"), nested.schema)
+    return dec.select("o_custkey", F.explode("orders").alias("o")).select(
+        "o_custkey",
+        F.col("o.o_orderkey").alias("o_orderkey"),
+        F.col("o.price").alias("price"),
+        F.col("o.prio").alias("prio"),
+    )
+
+
 def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column codec choice + compression on the F1 table (engine
-    metadata — no SQL oracle; driver records a rows-only check)."""
+    """Per-column codec choice, fully SQL-oracled: the selection is
+    deterministic (deterministic shuffle keys + trial-sample selector),
+    so the oracle pins the chosen codec per column as data, recomputes
+    n_rows / plain_value_bytes arithmetically, and asserts the
+    north-rule invariant encoded <= plain (as won=1)."""
     from cpp_parquet_spark.datagen import source_repos_from_documents
-    from cpp_parquet_spark.engine import encode_pipeline, size_report
+    from cpp_parquet_spark.engine import encode_pipeline
 
     src = source_repos_from_documents(spark, sf_dir)
-    return size_report(encode_pipeline(src, num_partitions=8))
+    chunks = encode_pipeline(src, num_partitions=8)
+    return chunks.groupBy("column").agg(
+        F.array_join(F.sort_array(F.collect_set("codec")), ",").alias("codecs"),
+        F.sum("num_rows").alias("n_rows"),
+        F.sum("plain_value_bytes").alias("plain_value_bytes"),
+        (F.sum("encoded_bytes") <= F.sum("plain_bytes")).cast("long").alias("won"),
+    )
 
 
 # ------------------------------------------- training-data pipeline ops
@@ -167,12 +204,18 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cpp_parquet_spark.pipeline.dedup import token_jaccard_pairs
+    """Exact-threshold token Jaccard via the scale path: minhash-band
+    candidate blocking + exact verification (token_jaccard_pairs_lsh).
+    The oracle stays the all-pairs SQL — the outputs agree because the
+    16×2 banding misses a >=0.8 pair with p ≈ 8e-8 and verification is
+    exact; the O(n²) DataFrame twin (token_jaccard_pairs) remains the
+    pytest-only baseline."""
+    from cpp_parquet_spark.pipeline.dedup import token_jaccard_pairs_lsh
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 5 == 0
     )
-    return token_jaccard_pairs(docs, threshold=0.8)
+    return token_jaccard_pairs_lsh(docs, threshold=0.8)
 
 
 def _planted():
@@ -227,9 +270,15 @@ def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cpp_parquet_spark.pipeline.similarity import embedding_near_dup_exact
+    """Near-dup pairs via the scale path: 16-band hyperplane-LSH
+    candidates + exact integerized-cosine verification.  The oracle
+    stays the all-pairs SQL — band recall at cos 0.9 is
+    1-(1-0.54)^16 ≈ 0.999996 (and 1.0 for identical vectors), and
+    verification is exact, so the emitted set equals the exact one;
+    embedding_near_dup_exact remains the pytest-only O(n²) baseline."""
+    from cpp_parquet_spark.pipeline.similarity import embedding_near_dup_lsh
 
-    return embedding_near_dup_exact(_emb_with_planted(spark, sf_dir), threshold=0.9)
+    return embedding_near_dup_lsh(_emb_with_planted(spark, sf_dir), threshold=0.9, bands=16)
 
 
 def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_agg": _q_roundtrip_lineitem_agg,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_orders_nulls": _q_roundtrip_orders_nulls,
+        "roundtrip_nested": _q_roundtrip_nested,
         "codec_selection": _q_codec_selection,
         "plain_size_accounting": _q_plain_size_accounting,
         # training-data pipeline ops
@@ -477,6 +527,33 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio,
                    round(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END), 2) AS sum_price,
                    count(DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END) AS n_prio_distinct
+            FROM orders
+        """,
+        "codec_selection": """
+            SELECT 'repo' AS "column", 'dict' AS codecs, count(*) AS n_rows,
+                   CAST(sum(4 + strlen(source)) AS BIGINT) AS plain_value_bytes,
+                   CAST(1 AS BIGINT) AS won
+            FROM documents
+            UNION ALL
+            SELECT 'path', 'fsst', count(*),
+                   CAST(sum(4 + strlen(concat('doc/', doc_id, '.txt'))) AS BIGINT),
+                   CAST(1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'commit', 'alpha', count(*), CAST(sum(44) AS BIGINT),
+                   CAST(1 AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'lang', 'dict', count(*),
+                   CAST(sum(4 + strlen(lang)) AS BIGINT), CAST(1 AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'content', 'fsst', count(*),
+                   CAST(sum(4 + strlen(text)) AS BIGINT), CAST(1 AS BIGINT) FROM documents
+        """,
+        "roundtrip_nested": """
+            SELECT o_custkey,
+                   o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS price,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
             FROM orders
         """,
         "plain_size_accounting": """

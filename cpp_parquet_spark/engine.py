@@ -243,17 +243,38 @@ def encode_dataframe(
 
 
 def _merge_columns(field: pa.Field, cols: list[pa.Array]) -> pa.Array:
-    """Merge per-leaf rebuilt columns into one (multi-leaf structs)."""
+    """Merge per-leaf rebuilt columns into one nested column.
+
+    Each leaf of a multi-leaf column (struct, list-of-struct, …) is
+    decoded independently by ``unshred`` into the full nesting with a
+    single-child struct at each struct level.  All leaves of one column
+    share their repetition/definition streams above the leaf, so the
+    rebuilt wrappers are element-wise identical: lists are merged by
+    reusing the first leaf's offsets/validity around the recursively
+    merged children; structs zip their single-child wrappers together.
+    (The reference's nested test matrix, parquet-file-test.cc:515-600,
+    is the spirit of the covering tests.)
+    """
+    import numpy as np
     import pyarrow.compute as pc
 
     if len(cols) == 1:
         return cols[0]
     t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        c0 = cols[0]
+        assert all(len(c.values) == len(c0.values) for c in cols[1:])
+        merged = _merge_columns(t.value_field, [c.values for c in cols])
+        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+        built = cls.from_arrays(c0.offsets, merged)
+        if c0.null_count:
+            idx = pa.array(
+                np.arange(len(c0), dtype=np.int64), mask=np.asarray(pc.is_null(c0))
+            )
+            built = built.take(idx)
+        return built
     if not pa.types.is_struct(t):
-        raise NotImplementedError(
-            f"multi-leaf reassembly under non-struct type {t} (e.g. list-of-struct "
-            f"with several leaves) is not supported yet"
-        )
+        raise NotImplementedError(f"multi-leaf reassembly under type {t} is not supported")
     by_child: dict[str, list[pa.Array]] = {}
     for c in cols:
         name = c.type.field(0).name

@@ -49,10 +49,9 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact token-set Jaccard over all pairs (oracle-able baseline).
-
-    O(n²) verification — correctness baseline for the LSH variants; at
-    scale use minhash_lsh_pairs which generates candidates first.
+    """Exact token-set Jaccard over all pairs — pytest-only O(n²)
+    baseline for token_jaccard_pairs_lsh (the production/driver path,
+    which blocks candidates by minhash bands first).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -105,6 +104,20 @@ def minhash_signature(sh: Column, n_perm: int = _N_PERM) -> Column:
     return F.array(*parts)
 
 
+def _band_hashes(sig, bands: int, rows: int) -> Column:
+    """One xxhash64 per band over that band's signature rows."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.element_at(sig, i * rows + r + 1).cast("string") for r in range(rows)]
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -124,16 +137,7 @@ def minhash_lsh_pairs(
     sigs = shingled.select("id", minhash_signature(F.col("sh")).alias("sig"))
 
     bands = sigs.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", i * _ROWS + r + 1).cast("string") for r in range(_ROWS)]))
-                    for i in range(_BANDS)
-                ]
-            )
-        ).alias("band", "bh"),
+        "id", "sig", F.posexplode(_band_hashes("sig", _BANDS, _ROWS)).alias("band", "bh")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -150,6 +154,60 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
+
+
+def token_jaccard_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+) -> DataFrame:
+    """Exact-threshold token Jaccard at scale: minhash band blocking
+    generates candidates (the shuffle key is the band hash — never an
+    all-pairs join), then *exact* token-set Jaccard verifies each
+    candidate, so the output equals token_jaccard_pairs' wherever the
+    banding recalls the pair.
+
+    The minhash runs over single-token hashes (k=1 shingles), i.e. it
+    estimates exactly the token-set Jaccard being verified.  With the
+    32 permutations split as 16 bands × 2 rows, a pair at the 0.8
+    threshold is missed with probability (1 - 0.8²)^16 ≈ 8e-8; pairs
+    above it even less often.  Output schema matches the exact
+    baseline — (id_a, id_b, jaccard) — so the same SQL oracle binds.
+    """
+    rows = _N_PERM // bands
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_tokens(F.col(text_col))).alias("tok"),
+    )
+    sigs = (
+        toks.filter(F.size("tok") > 0)
+        .select("id", F.transform("tok", lambda t: F.xxhash64(t)).alias("sh"))
+        .select("id", minhash_signature(F.col("sh")).alias("sig"))
+    )
+    banded = sigs.select("id", F.posexplode(_band_hashes("sig", bands, rows)).alias("band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
+    verified = cand.join(ta, "id_a").join(tb, "id_b")
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -65,7 +65,9 @@ def embedding_near_dup_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold — exact baseline (oracle-able)."""
+    """All pairs with cosine >= threshold — pytest-only O(n²) baseline
+    for embedding_near_dup_lsh (the production/driver path, which
+    blocks candidates by hyperplane bands first)."""
     v = df.select(F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("vec"))
     a, b = v.alias("a"), v.alias("b")
     dot = _dot(F.col("a.vec"), F.col("b.vec")).cast("double")
@@ -188,6 +190,43 @@ def _assign_centroids(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col
     return base.mapInArrow(op, out_schema)
 
 
+def _probe_lists(
+    qdf: DataFrame, cents_norm: np.ndarray, nprobe: int, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(qid, cid) rows for each query's nprobe nearest centroid lists —
+    batch-wide numpy over Arrow, one output row per probed list."""
+    import pyarrow as pa
+
+    base = qdf.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).cast("array<float>").alias("vec")
+    )
+    arrow_out = pa.schema([("qid", pa.int64()), ("cid", pa.int32())])
+
+    def op(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = b.column("vec")
+            if isinstance(vec, pa.ChunkedArray):  # pragma: no cover - defensive
+                vec = vec.combine_chunks()
+            offsets = np.asarray(vec.offsets, dtype=np.int64)
+            flat = np.asarray(vec.values, dtype=np.float64)
+            mats = flat[offsets[0] : offsets[-1]].reshape(n, dim)
+            norms = np.maximum(np.linalg.norm(mats, axis=1, keepdims=True), 1e-12)
+            probe = np.argsort(-((mats / norms) @ cents_norm.T), axis=1)[:, :nprobe]
+            qids = np.asarray(b.column("qid"), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, probe.shape[1])),
+                    pa.array(probe.ravel().astype(np.int32)),
+                ],
+                schema=arrow_out,
+            )
+
+    return base.mapInArrow(op, "qid long, cid int")
+
+
 def ivf_centroids(
     df: DataFrame,
     nlist: int = 16,
@@ -242,28 +281,14 @@ def ivf_topk(
     )
     qdf = df.filter(F.expr(query_filter))
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    # nprobe lists per query need the full centroid-score vector — the
-    # query side is tiny by contract (a filter), so compute driver-side
-    qrows = qdf.select(
-        F.col(id_col).cast("long").alias("qid"),
-        F.col(vec_col).cast("array<float>").alias("v"),
-    ).collect()
-    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(qmat @ cn.T), axis=1)[:, :nprobe]
-    spark = df.sparkSession
-    probes = spark.createDataFrame(
-        [
-            (int(r["qid"]), [int(c) for c in probe[i]])
-            for i, r in enumerate(qrows)
-        ],
-        "qid long, cids array<int>",
-    )
-    queries = (
-        qdf.select(F.col(id_col).cast("long").alias("qid"), _int_vec(F.col(vec_col)).alias("qvec"))
-        .join(probes, "qid")
-        .select("qid", "qvec", F.explode("cids").alias("cid"))
-    )
+    # nprobe lists per query: a per-row argsort against the (tiny,
+    # broadcast-by-closure) nlist×dim centroid matrix, computed
+    # *distributed* in mapInArrow — no query vector ever touches the
+    # driver, so the query side can be arbitrarily large
+    probes = _probe_lists(qdf, cn, nprobe, id_col, vec_col, dim)
+    queries = qdf.select(
+        F.col(id_col).cast("long").alias("qid"), _int_vec(F.col(vec_col)).alias("qvec")
+    ).join(probes, "qid")
     dot = _dot(F.col("qvec"), F.col("vec")).cast("double")
     nq = F.sqrt(_dot(F.col("qvec"), F.col("qvec")).cast("double"))
     nc = F.sqrt(_dot(F.col("vec"), F.col("vec")).cast("double"))

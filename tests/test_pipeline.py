@@ -253,3 +253,53 @@ def test_multimodal_real_mode_is_gated(spark):
     with pytest.raises(Exception) as exc:
         extract_features(media, mode="real").collect()
     assert "NotImplementedError" in str(exc.value) or "real media decode" in str(exc.value)
+
+
+def test_token_jaccard_lsh_equals_exact(spark):
+    """The driver-wired scale path (minhash-band candidates + exact
+    verification) must emit exactly the all-pairs baseline's set: the
+    O(n²) join survives only as this oracle."""
+    from cpp_parquet_spark.pipeline.dedup import (
+        token_jaccard_pairs,
+        token_jaccard_pairs_lsh,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = token_jaccard_pairs(docs, threshold=0.8)
+    lsh = token_jaccard_pairs_lsh(docs, threshold=0.8)
+    assert exact.exceptAll(lsh).count() == 0
+    assert lsh.exceptAll(exact).count() == 0
+    assert lsh.count() > 0  # non-vacuous: the testdata has near-dups
+
+
+def test_embedding_near_dup_lsh16_equals_exact(spark):
+    """16-band hyperplane LSH + exact verify (the driver-wired path)
+    equals the exact all-pairs set on planted copies."""
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.pipeline.similarity import (
+        embedding_near_dup_exact,
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    both = emb.unionByName(copies)
+    exact = sorted(map(tuple, embedding_near_dup_exact(both, threshold=0.9).collect()))
+    lsh = sorted(map(tuple, embedding_near_dup_lsh(both, threshold=0.9, bands=16).collect()))
+    assert exact == lsh
+    assert len(lsh) == 20
+
+
+def test_ivf_probe_assignment_is_distributed():
+    """No query vector may be collected to the driver: similarity.py
+    must not call .collect() outside ivf_centroids' documented
+    nlist-row seed/refine aggregations."""
+    import inspect
+
+    from cpp_parquet_spark.pipeline import similarity
+
+    src = inspect.getsource(similarity.ivf_topk) + inspect.getsource(similarity._probe_lists)
+    assert ".collect()" not in src
