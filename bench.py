@@ -184,6 +184,20 @@ def _steal_frac():
     return int(parts[8]), sum(int(x) for x in parts[1:9])
 
 
+def _agreed_min(samples: list[float], tol: float = 0.15, need: int = 2):
+    """Min accepted only when >= `need` samples lie within `tol` of it.
+
+    This VM's interference is one-sided (steal windows only inflate), so
+    min is the right location estimator — but a single lucky sample is
+    not evidence.  Requiring a second sample within 15% makes the min
+    reproducible-by-construction; return None (keep sampling) otherwise.
+    """
+    if not samples:
+        return None
+    m = min(samples)
+    return m if sum(1 for s in samples if s <= m * (1 + tol)) >= need else None
+
+
 def scale_worker(cores: int) -> None:
     """Subprocess entry: one Spark session at `cores`, warm, two timed
     encode runs; prints one JSON line.  A fresh process per sample lets
@@ -201,14 +215,26 @@ def scale_worker(cores: int) -> None:
     print(json.dumps({"cores": cores, "times": times}))
 
 
-def run_pipeline_scaling(rounds: int = 3) -> dict:
-    """Interleaved N/4N encode-job samples in fresh subprocesses."""
+def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 7, budget_sec: float = 1500.0) -> dict:
+    """Interleaved N/4N encode-job samples in fresh subprocesses.
+
+    Adaptive estimator (round-2 verdict): a level's min counts only when
+    a second sample agrees within 15% (`_agreed_min`); keep taking
+    interleaved rounds until BOTH levels have an agreed min AND the
+    implied efficiency is physically plausible (<= 1.02 — super-linear
+    means the slow level never caught a clean window), bounded by
+    `max_rounds` / `budget_sec`.  All samples are recorded either way and
+    the output says whether agreement was reached.
+    """
     import subprocess
 
-    times: dict[int, list[float]] = {SCALE_N: [], SCALE_N * 4: []}
+    lo, hi = SCALE_N, SCALE_N * 4
+    times: dict[int, list[float]] = {lo: [], hi: []}
     s0, j0 = _steal_frac()
-    for _ in range(rounds):
-        for cores in (SCALE_N, SCALE_N * 4):
+    t_start = time.time()
+    rounds_run = 0
+    for r in range(max_rounds):
+        for cores in (lo, hi) if r % 2 == 0 else (hi, lo):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
                 capture_output=True,
@@ -219,17 +245,40 @@ def run_pipeline_scaling(rounds: int = 3) -> dict:
             rec = json.loads(line)
             times[cores].extend(rec["times"])
             print(f"[bench] scaling local[{cores}]: {rec['times']}", file=sys.stderr, flush=True)
+        rounds_run = r + 1
+        m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+        if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:
+            if (m_lo / m_hi) / (hi / lo) <= 1.02:
+                break  # both levels reproducible and the ratio is sane
+            print(
+                f"[bench] superlinear window ({m_lo}/{m_hi}) — resampling",
+                file=sys.stderr,
+                flush=True,
+            )
+        if time.time() - t_start > budget_sec:
+            print("[bench] scaling budget exhausted", file=sys.stderr, flush=True)
+            break
     s1, j1 = _steal_frac()
-    eff = (min(times[SCALE_N]) / min(times[SCALE_N * 4])) / 4
+    m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+    agreed = m_lo is not None and m_hi is not None
+    t_n = m_lo if m_lo is not None else min(times[lo])
+    t_4n = m_hi if m_hi is not None else min(times[hi])
+    raw_eff = (t_n / t_4n) / (hi / lo)
+    valid = agreed and raw_eff <= 1.02
     return {
-        "cores_n": SCALE_N,
-        "cores_4n": SCALE_N * 4,
-        "t_n_sec": round(min(times[SCALE_N]), 3),
-        "t_4n_sec": round(min(times[SCALE_N * 4]), 3),
-        "efficiency": round(eff, 3),
-        "samples_n": times[SCALE_N],
-        "samples_4n": times[SCALE_N * 4],
-        "estimator": "min over interleaved fresh-process samples",
+        "cores_n": lo,
+        "cores_4n": hi,
+        "t_n_sec": round(t_n, 3),
+        "t_4n_sec": round(t_4n, 3),
+        "efficiency": round(min(raw_eff, 1.0), 3) if valid else None,
+        "raw_efficiency": round(raw_eff, 3),
+        "valid": valid,
+        "agreement_n": m_lo is not None,
+        "agreement_4n": m_hi is not None,
+        "rounds": rounds_run,
+        "samples_n": times[lo],
+        "samples_4n": times[hi],
+        "estimator": "agreed min (>=2 samples within 15%) over interleaved fresh-process samples",
         "steal_pct_window": round(100 * (s1 - s0) / max(j1 - j0, 1), 2),
     }
 
@@ -252,11 +301,14 @@ def _kernel_task(task):
     return total
 
 
-def run_kernel_scaling(input_path: str, rounds: int = 3) -> dict:
+def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8, budget_sec: float = 600.0) -> dict:
     """Process-level scaling of the pure encode kernels (fork workers,
-    no Spark/JVM/shuffle): same chunks, N vs 4N processes, warm pools,
-    min over interleaved samples.  Secondary evidence isolating codec
-    scalability from framework overhead."""
+    no Spark/JVM/shuffle): same chunks, N vs 4N processes, warm pools.
+    Secondary evidence isolating codec scalability from framework
+    overhead.  Same agreement-gated estimator as the pipeline figure;
+    efficiency > 1.02 is reported as invalid (None), never as a number —
+    super-linear process scaling is an interference artifact by
+    definition."""
     import multiprocessing as mp
 
     import pyarrow.parquet as pq
@@ -271,22 +323,40 @@ def run_kernel_scaling(input_path: str, rounds: int = 3) -> dict:
     tasks = [(i, min(rows, n - i)) for i in range(0, n, rows)]
     lo, hi = SCALE_N, SCALE_N * 4
     times: dict[int, list[float]] = {lo: [], hi: []}
-    for _ in range(rounds):
-        for procs in (lo, hi):
+    t_start = time.time()
+    rounds_run = 0
+    for r in range(max_rounds):
+        for procs in (lo, hi) if r % 2 == 0 else (hi, lo):
             with mp.get_context("fork").Pool(procs) as pool:
                 pool.map(_kernel_task, tasks, chunksize=1)  # warm arenas
                 t0 = time.time()
                 pool.map(_kernel_task, tasks, chunksize=1)
                 times[procs].append(round(time.time() - t0, 3))
-    eff = (min(times[lo]) / min(times[hi])) / (hi / lo)
+        rounds_run = r + 1
+        m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+        if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:
+            if (m_lo / m_hi) / (hi / lo) <= 1.02:
+                break
+        if time.time() - t_start > budget_sec:
+            break
+    m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+    agreed = m_lo is not None and m_hi is not None
+    t_n = m_lo if m_lo is not None else min(times[lo])
+    t_4n = m_hi if m_hi is not None else min(times[hi])
+    raw_eff = (t_n / t_4n) / (hi / lo)
+    valid = agreed and raw_eff <= 1.02
     return {
         "procs_n": lo,
         "procs_4n": hi,
-        "t_n_sec": min(times[lo]),
-        "t_4n_sec": min(times[hi]),
-        "efficiency": round(eff, 3),
+        "t_n_sec": t_n,
+        "t_4n_sec": t_4n,
+        "efficiency": round(min(raw_eff, 1.0), 3) if valid else None,
+        "raw_efficiency": round(raw_eff, 3),
+        "valid": valid,
+        "rounds": rounds_run,
         "samples_n": times[lo],
         "samples_4n": times[hi],
+        "estimator": "agreed min (>=2 samples within 15%), interleaved warm pools",
     }
 
 
@@ -301,14 +371,30 @@ def main() -> None:
     prepare_input(spark, input_path)
     warm_workers(spark, input_path)
 
-    t_encode, totals = run_encode(spark, input_path, chunks_out=chunks_path)
-    # second timed pass (no write) guards the headline against a noise
-    # window; min is the steady-state estimator on this box
-    t_encode = min(t_encode, run_encode(spark, input_path)[0])
+    t_write, totals = run_encode(spark, input_path, chunks_out=chunks_path)
+    # headline = agreed min over no-write passes (the with-write pass is
+    # biased high and serves only as a fallback upper bound); keep
+    # sampling until two passes agree within 15%, max 4 passes — the
+    # same reproducible-by-construction estimator as the scaling section
+    enc_samples: list[float] = []
+    for _ in range(4):
+        enc_samples.append(run_encode(spark, input_path)[0])
+        if _agreed_min(enc_samples) is not None:
+            break
+    t_encode = _agreed_min(enc_samples) or min(enc_samples + [t_write])
     queries["encode_pipeline"] = round(t_encode, 3)
-    t_decode = run_decode(spark, chunks_path)
-    t_decode = min(t_decode, run_decode(spark, chunks_path))
+    dec_samples: list[float] = []
+    for _ in range(4):
+        dec_samples.append(run_decode(spark, chunks_path))
+        if _agreed_min(dec_samples) is not None:
+            break
+    t_decode = _agreed_min(dec_samples) or min(dec_samples)
     queries["decode_pipeline"] = round(t_decode, 3)
+    headline_samples = {
+        "encode_with_write": round(t_write, 3),
+        "encode": [round(t, 3) for t in enc_samples],
+        "decode": [round(t, 3) for t in dec_samples],
+    }
 
     # driver-visible roundtrip queries (sf-dir inputs)
     import __spark_entry__ as entrymod
@@ -352,6 +438,7 @@ def main() -> None:
             "ratio": round(totals["plain_bytes"] / max(totals["encoded_bytes"], 1), 3),
             "bytes_per_row": round(totals["encoded_bytes"] / max(totals["rows"], 1), 2),
         },
+        "headline_samples": headline_samples,
         "scaling": scaling,
         "scaling_kernel": scaling_kernel,
     }

@@ -74,6 +74,33 @@ def encode_delta_binary_packed(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _as_int64(values: pa.Array) -> np.ndarray:
+    """Signed-int / temporal arrow array → int64 numpy view (timestamps
+    and dates are their raw integer representation on the wire)."""
+    t = values.type
+    if pa.types.is_timestamp(t):
+        return np.asarray(values.cast(pa.int64()))
+    if pa.types.is_date32(t):
+        return np.asarray(values.cast(pa.int32())).astype(np.int64)
+    return np.asarray(values).astype(np.int64, copy=False)
+
+
+def delta_bp_fits(values: pa.Array) -> bool:
+    """True when every block's (value - min_delta) arithmetic stays in
+    int64/uint64 — i.e. max-min of the *values* fits in int64.  Callers
+    fall back to PLAIN otherwise (full-range wraparound deltas are legal
+    per spec but not worth the complexity for a corner case)."""
+    if len(values) < 2:
+        return len(values) > 0
+    v = _as_int64(values)
+    return int(v.max()) - int(v.min()) < (1 << 62)
+
+
+def encode_delta_binary_packed_array(values: pa.Array) -> bytes:
+    """Arrow signed-int/temporal array → DELTA_BINARY_PACKED page body."""
+    return encode_delta_binary_packed(_as_int64(values))
+
+
 def encode_delta_length_byte_array(values: pa.Array) -> bytes:
     """DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths + concatenated
     value bytes (no per-value prefixes)."""

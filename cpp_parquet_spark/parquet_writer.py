@@ -209,6 +209,7 @@ def _page_values_plain(values: pa.Array, physical: str, int96: bool = False) -> 
 
 
 _ENC_RLE_DICT = 8
+_ENC_DELTA_BP = 5
 _ENC_DELTA_LENGTH_BA = 6
 _PAGE_DICT = 2
 _MAX_STAT_BYTES = 64
@@ -264,6 +265,10 @@ def _data_page(
     body = _levels_block(sh, plan)
     if encoding == _ENC_DELTA_LENGTH_BA:
         body += _delta_length_byte_array(sh.values)
+    elif encoding == _ENC_DELTA_BP:
+        from cpp_parquet_spark.kernels.deltabp import encode_delta_binary_packed_array
+
+        body += encode_delta_binary_packed_array(sh.values)
     else:
         body += _page_values_plain(sh.values, plan.physical, int96=int96)
     dph = tc.struct(
@@ -513,6 +518,27 @@ class ParquetWriter:
                 if self.use_delta and not use_int96 and plan.physical == "BYTE_ARRAY":
                     enc = _ENC_DELTA_LENGTH_BA
                     encodings = [_ENC_DELTA_LENGTH_BA, _ENC_RLE]
+                elif self.use_delta and not use_int96 and plan.physical in ("INT32", "INT64"):
+                    # DELTA_BINARY_PACKED for signed int / temporal
+                    # chunks when it actually beats PLAIN (spec
+                    # Encodings.md; unsigned columns stay PLAIN — their
+                    # raw bit patterns don't fit signed delta space)
+                    from cpp_parquet_spark.kernels.deltabp import (
+                        delta_bp_fits,
+                        encode_delta_binary_packed_array,
+                    )
+
+                    vt2 = sh.values.type
+                    signed_like = (
+                        pa.types.is_signed_integer(vt2)
+                        or pa.types.is_timestamp(vt2)
+                        or pa.types.is_date32(vt2)
+                    )
+                    if signed_like and len(sh.values) and delta_bp_fits(sh.values):
+                        plain_bytes = len(sh.values) * (4 if plan.physical == "INT32" else 8)
+                        if len(encode_delta_binary_packed_array(sh.values)) < 0.9 * plain_bytes:
+                            enc = _ENC_DELTA_BP
+                            encodings = [_ENC_DELTA_BP, _ENC_RLE]
                 data_offset = self._pos
                 for page_sh, _, _ in pages:
                     page, raw = _data_page(page_sh, plan, int96=use_int96, gzip=self.gzip, encoding=enc)
@@ -616,6 +642,7 @@ def write_table(
     compression: str | None = None,
     use_dictionary: bool = True,
     use_delta: bool = True,
+    page_records: int = 20_000,
 ) -> dict:
     """Write an Arrow table as a real .parquet file (one call, N row groups)."""
     w = ParquetWriter(
@@ -625,6 +652,7 @@ def write_table(
         compression=compression,
         use_dictionary=use_dictionary,
         use_delta=use_delta,
+        page_records=page_records,
     )
     try:
         for piece in row_group_slices(table, row_group_rows, row_group_bytes):
