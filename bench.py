@@ -235,8 +235,15 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 7, budget_sec: f
     rounds_run = 0
     for r in range(max_rounds):
         for cores in (lo, hi) if r % 2 == 0 else (hi, lo):
+            # CPU-affinity pin to exactly `cores` CPUs: an executor with
+            # N cores has N cores *total* — unpinned, the local-mode
+            # JVM's helper threads (shuffle IO, GC) quietly borrow extra
+            # cores and deflate the small level's wall time, which is a
+            # protocol infidelity, not a measurement.  Offset 8 keeps
+            # the pin off CPU0's IRQ load.
+            cpuset = f"8-{8 + cores - 1}" if cores > 1 else "8"
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
+                ["taskset", "-c", cpuset, sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
                 capture_output=True,
                 text=True,
                 timeout=900,
@@ -325,13 +332,19 @@ def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8
     times: dict[int, list[float]] = {lo: [], hi: []}
     t_start = time.time()
     rounds_run = 0
+    base_affinity = os.sched_getaffinity(0)
     for r in range(max_rounds):
         for procs in (lo, hi) if r % 2 == 0 else (hi, lo):
-            with mp.get_context("fork").Pool(procs) as pool:
-                pool.map(_kernel_task, tasks, chunksize=1)  # warm arenas
-                t0 = time.time()
-                pool.map(_kernel_task, tasks, chunksize=1)
-                times[procs].append(round(time.time() - t0, 3))
+            # same N-CPU pin as the pipeline protocol (children inherit)
+            os.sched_setaffinity(0, set(range(8, 8 + procs)))
+            try:
+                with mp.get_context("fork").Pool(procs) as pool:
+                    pool.map(_kernel_task, tasks, chunksize=1)  # warm arenas
+                    t0 = time.time()
+                    pool.map(_kernel_task, tasks, chunksize=1)
+                    times[procs].append(round(time.time() - t0, 3))
+            finally:
+                os.sched_setaffinity(0, base_affinity)
         rounds_run = r + 1
         m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
         if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:

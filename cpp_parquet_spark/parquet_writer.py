@@ -212,6 +212,7 @@ _ENC_RLE_DICT = 8
 _ENC_DELTA_BP = 5
 _ENC_DELTA_LENGTH_BA = 6
 _PAGE_DICT = 2
+_PAGE_DATA_V2 = 3
 _MAX_STAT_BYTES = 64
 _CODEC_GZIP = 2
 
@@ -258,19 +259,69 @@ def _page(page_type: int, body: bytes, dph: bytes, dph_fid: int, gzip: bool) -> 
     return header + bytes(body), len(header) + raw_len
 
 
+def _page_values(sh: ShreddedColumn, plan: ColumnPlan, encoding: int, int96: bool) -> bytes:
+    """Encoded values section of a data page (shared by v1 and v2)."""
+    if encoding == _ENC_DELTA_LENGTH_BA:
+        return _delta_length_byte_array(sh.values)
+    if encoding == _ENC_DELTA_BP:
+        from cpp_parquet_spark.kernels.deltabp import encode_delta_binary_packed_array
+
+        return encode_delta_binary_packed_array(sh.values)
+    return _page_values_plain(sh.values, plan.physical, int96=int96)
+
+
+def _data_page_v2(
+    sh: ShreddedColumn, plan: ColumnPlan, values_body: bytes, encoding: int, gzip: bool
+) -> tuple[bytes, int]:
+    """One DATA_PAGE_V2 (public Parquet spec): rep/def level runs sit
+    *uncompressed* ahead of the (optionally compressed) values block,
+    without v1's u32 prefixes — their byte lengths live in the header
+    (definition/repetition_levels_byte_length), so readers can skip to
+    the values without decoding levels."""
+    rep = (
+        rle.encode_hybrid(sh.rep_levels, bit_width_for(plan.max_rep))
+        if plan.max_rep > 0
+        else b""
+    )
+    deflev = (
+        rle.encode_hybrid(sh.def_levels, bit_width_for(plan.max_def))
+        if plan.max_def > 0
+        else b""
+    )
+    num_rows = (
+        int(np.count_nonzero(sh.rep_levels == 0)) if plan.max_rep > 0 else sh.num_entries
+    )
+    num_nulls = (
+        sh.num_entries - int(np.count_nonzero(sh.def_levels == plan.max_def))
+        if plan.max_def > 0
+        else 0
+    )
+    comp_values = _gzip(values_body) if gzip else values_body
+    raw_len = len(rep) + len(deflev) + len(values_body)
+    dph = tc.struct(
+        tc.f_i32(1, sh.num_entries),  # num_values incl. nulls
+        tc.f_i32(2, num_nulls),
+        tc.f_i32(3, num_rows),
+        tc.f_i32(4, encoding),
+        tc.f_i32(5, len(deflev)),  # definition_levels_byte_length
+        tc.f_i32(6, len(rep)),  # repetition_levels_byte_length
+        tc.f_bool(7, gzip),  # is_compressed (values block only)
+    )
+    header = tc.struct(
+        tc.f_i32(1, _PAGE_DATA_V2),
+        tc.f_i32(2, raw_len),  # uncompressed_page_size
+        tc.f_i32(3, len(rep) + len(deflev) + len(comp_values)),
+        tc.f_struct(8, dph),  # PageHeader.data_page_header_v2
+    )
+    return header + rep + deflev + bytes(comp_values), len(header) + raw_len
+
+
 def _data_page(
     sh: ShreddedColumn, plan: ColumnPlan, int96: bool = False, gzip: bool = False, encoding: int = _ENC_PLAIN
 ) -> tuple[bytes, int]:
     """One v1 data page: PageHeader + level blocks + encoded values."""
     body = _levels_block(sh, plan)
-    if encoding == _ENC_DELTA_LENGTH_BA:
-        body += _delta_length_byte_array(sh.values)
-    elif encoding == _ENC_DELTA_BP:
-        from cpp_parquet_spark.kernels.deltabp import encode_delta_binary_packed_array
-
-        body += encode_delta_binary_packed_array(sh.values)
-    else:
-        body += _page_values_plain(sh.values, plan.physical, int96=int96)
+    body += _page_values(sh, plan, encoding, int96)
     dph = tc.struct(
         tc.f_i32(1, sh.num_entries),  # num_values incl. nulls
         tc.f_i32(2, encoding),
@@ -436,9 +487,13 @@ class ParquetWriter:
         use_delta: bool = True,
         compression: str | None = None,
         page_records: int = 20_000,
+        data_page_version: int = 1,
     ):
         if compression not in (None, "none", "gzip"):
             raise ValueError("supported compression: None or 'gzip' (zlib is the only codec lib in this environment)")
+        if data_page_version not in (1, 2):
+            raise ValueError("data_page_version must be 1 or 2")
+        self.data_page_version = data_page_version
         self.path = path
         self.schema = schema
         self.int96 = int96_timestamps
@@ -508,7 +563,11 @@ class ParquetWriter:
                 indices = np.asarray(denc.indices, dtype=np.uint64)
                 width = max((len(denc.dictionary) - 1).bit_length(), 1)
                 for page_sh, v0, v1 in pages:
-                    page, raw = _dict_data_page(page_sh, plan, indices[v0:v1], width, self.gzip)
+                    if self.data_page_version == 2:
+                        vbody = bytes([width]) + rle.encode_hybrid(indices[v0:v1], width)
+                        page, raw = _data_page_v2(page_sh, plan, vbody, _ENC_RLE_DICT, self.gzip)
+                    else:
+                        page, raw = _dict_data_page(page_sh, plan, indices[v0:v1], width, self.gzip)
                     self._f.write(page)
                     chunk_len += len(page)
                     raw_len += raw
@@ -541,7 +600,11 @@ class ParquetWriter:
                             encodings = [_ENC_DELTA_BP, _ENC_RLE]
                 data_offset = self._pos
                 for page_sh, _, _ in pages:
-                    page, raw = _data_page(page_sh, plan, int96=use_int96, gzip=self.gzip, encoding=enc)
+                    if self.data_page_version == 2:
+                        vbody = _page_values(page_sh, plan, enc, use_int96)
+                        page, raw = _data_page_v2(page_sh, plan, vbody, enc, self.gzip)
+                    else:
+                        page, raw = _data_page(page_sh, plan, int96=use_int96, gzip=self.gzip, encoding=enc)
                     self._f.write(page)
                     chunk_len += len(page)
                     raw_len += raw
@@ -643,6 +706,7 @@ def write_table(
     use_dictionary: bool = True,
     use_delta: bool = True,
     page_records: int = 20_000,
+    data_page_version: int = 1,
 ) -> dict:
     """Write an Arrow table as a real .parquet file (one call, N row groups)."""
     w = ParquetWriter(
@@ -653,6 +717,7 @@ def write_table(
         use_dictionary=use_dictionary,
         use_delta=use_delta,
         page_records=page_records,
+        data_page_version=data_page_version,
     )
     try:
         for piece in row_group_slices(table, row_group_rows, row_group_bytes):

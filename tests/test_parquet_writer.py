@@ -429,3 +429,56 @@ def test_delta_binary_packed_nulls_and_pages(tmp_path):
         sum(v for v in vals if v is not None),
         sum(1 for v in vals if v is not None),
     )
+
+
+def _first_data_page_type_byte(path, col_idx=0):
+    """Thrift-compact PageHeader starts with field 1 (type, i32):
+    byte 0x15 then zigzag varint of the page type — 0x06 for
+    DATA_PAGE_V2 (3), 0x00 for DATA_PAGE (0)."""
+    md = pq.ParquetFile(path).metadata.row_group(0).column(col_idx)
+    with open(path, "rb") as f:
+        f.seek(md.data_page_offset)
+        b = f.read(2)
+    assert b[0] == 0x15
+    return b[1]
+
+
+@pytest.mark.parametrize("compression", [None, "gzip"])
+def test_data_page_v2(tmp_path, compression):
+    """DATA_PAGE_V2 pages (public Parquet spec): uncompressed level runs
+    ahead of the values block, lengths in the header; readable by
+    pyarrow AND DuckDB with dictionary, delta, and null columns."""
+    n = 4000
+    t = pa.table(
+        {
+            "lang": pa.array(["python", "go", "rust"][i % 3] for i in range(n)),
+            "path": pa.array(f"src/dir{i % 17}/file_{i:05d}.py" for i in range(n)),
+            "size": pa.array([None if i % 13 == 0 else i * 7 for i in range(n)], pa.int64()),
+            "tags": pa.array([[f"t{i % 5}", f"u{i % 3}"] if i % 4 else None for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "v2.parquet")
+    write_table(t, path, compression=compression, data_page_version=2, page_records=1500)
+    # the size column has no dictionary page, so its first page is a v2 data page
+    md = pq.ParquetFile(path).metadata
+    size_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("size")
+    assert _first_data_page_type_byte(path, size_idx) == 0x06  # zigzag(3)
+    back = pq.read_table(path)
+    for name in t.schema.names:
+        assert back.column(name).to_pylist() == t.column(name).to_pylist(), name
+    assert duckdb.sql(f"select sum(size), count(*) from '{path}'").fetchone() == (
+        sum(i * 7 for i in range(n) if i % 13 != 0),
+        n,
+    )
+
+
+def test_data_page_v1_vs_v2_equivalent(tmp_path):
+    """Same table through v1 and v2 pages reads back identically and v1
+    files keep emitting v1 page headers."""
+    t = pa.table({"v": pa.array(range(1000), pa.int64()), "s": pa.array(f"x{i}" for i in range(1000))})
+    p1, p2 = str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")
+    write_table(t, p1, use_dictionary=False, data_page_version=1)
+    write_table(t, p2, use_dictionary=False, data_page_version=2)
+    assert _first_data_page_type_byte(p1) == 0x00
+    assert _first_data_page_type_byte(p2) == 0x06
+    assert pq.read_table(p1).equals(pq.read_table(p2))
