@@ -340,7 +340,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sink_roundtrip(df: DataFrame, tag: str) -> DataFrame:
+def _sink_roundtrip(df: DataFrame, tag: str, **kw) -> DataFrame:
     """Write ``df`` as REAL .parquet files with our writer (distributed
     sink), then read the directory back with Spark's own Parquet reader
     — the independent-reader oracle the reference uses (parquet-dump
@@ -350,7 +350,7 @@ def _sink_roundtrip(df: DataFrame, tag: str) -> DataFrame:
     from cpp_parquet_spark.sink import write_parquet_dir
 
     out = tempfile.mkdtemp(prefix=f"sgc_pq_{tag}_")
-    write_parquet_dir(df, out)  # collect(manifest) forces the write job
+    write_parquet_dir(df, out, **kw)  # collect(manifest) forces the write job
     return df.sparkSession.read.parquet(out)
 
 
@@ -359,6 +359,17 @@ def _q_parquet_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parquet part files (parquet_writer + sink) → Spark's reader."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _sink_roundtrip(docs.repartition(4, "lang"), "docs")
+
+
+def _q_parquet_file_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA_PAGE_V2 pages + gzip through the distributed sink (levels
+    uncompressed ahead of the compressed values block, public Parquet
+    spec — beyond the reference's PLAIN/UNCOMPRESSED v1 pages,
+    parquet-column.cc:385-388), read back by Spark's own reader."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _sink_roundtrip(
+        docs.repartition(2, "lang"), "docs_v2", compression="gzip", data_page_version=2
+    )
 
 
 def _q_parquet_file_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoded_join_revenue": _q_decoded_join_revenue,
         # real Parquet wire output (O13/O15/O21 complete)
         "parquet_file_roundtrip": _q_parquet_file_roundtrip,
+        "parquet_file_v2": _q_parquet_file_v2,
         "parquet_file_orders": _q_parquet_file_orders,
         "parquet_file_embeddings": _q_parquet_file_embeddings,
     }
@@ -709,6 +721,9 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "parquet_file_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "parquet_file_v2": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "parquet_file_orders": """

@@ -57,6 +57,7 @@ def write_dataset(
     row_group_bytes: int | None = None,
     compression: str | None = None,
     use_dictionary: bool = True,
+    data_page_version: int = 1,
 ) -> DataFrame:
     """Write ``df`` as a directory of real Parquet part files.
 
@@ -85,7 +86,11 @@ def write_dataset(
             tbl = pa.Table.from_batches(buf)
             if writer is None:
                 writer = ParquetWriter(
-                    tmp, tbl.schema, compression=compression, use_dictionary=use_dictionary
+                    tmp,
+                    tbl.schema,
+                    compression=compression,
+                    use_dictionary=use_dictionary,
+                    data_page_version=data_page_version,
                 )
             writer.write_row_group(tbl)
             buf, buf_rows, buf_bytes = [], 0, 0
@@ -130,6 +135,7 @@ def write_parquet_dir(
     row_group_bytes: int | None = None,
     compression: str | None = None,
     use_dictionary: bool = True,
+    data_page_version: int = 1,
 ) -> list:
     """Force the write; return the manifest rows (driver-side metadata,
     one row per file — safe to collect)."""
@@ -140,4 +146,5 @@ def write_parquet_dir(
         row_group_bytes=row_group_bytes,
         compression=compression,
         use_dictionary=use_dictionary,
+        data_page_version=data_page_version,
     ).collect()
