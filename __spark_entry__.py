@@ -419,6 +419,37 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk pruning as predicate pushdown for the SGC store: orders are
+    range-partitioned and sorted by o_orderkey, encoded into stat-
+    carrying chunks (engine CHUNK_SCHEMA stat_min/stat_max — order-
+    preserving binary keys, stats.py), pruned JVM-side to the chunks
+    that can contain keys in [2000, 9000], decoded, exact-filtered, and
+    aggregated.  The pruned payloads never reach a Python worker — the
+    engine-side analogue of the Parquet row-group statistics our writer
+    emits (parquet_writer._statistics)."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe, prune_chunks
+
+    lo, hi = 2000, 9000
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    arranged = orders.repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey")
+    chunks = encode_dataframe(arranged, codec="auto", chunk_rows=2048)
+    pruned = prune_chunks(chunks, arranged.schema, "o_orderkey", lower=lo, upper=hi)
+    decoded = decode_dataframe(pruned, arranged.schema)
+    return (
+        decoded.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 def _q_decoded_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + aggregation over *decoded* tables: customer and orders
     both pass through encode→decode, then feed a normal Catalyst
@@ -496,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "decoded_join_revenue": _q_decoded_join_revenue,
+        "pruned_scan_agg": _q_pruned_scan_agg,
         # real Parquet wire output (O13/O15/O21 complete)
         "parquet_file_roundtrip": _q_parquet_file_roundtrip,
         "parquet_file_v2": _q_parquet_file_v2,
@@ -673,6 +705,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT c_custkey) AS n_customers
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "pruned_scan_agg": """
+            SELECT o_orderstatus,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key
+            FROM orders
+            WHERE o_orderkey BETWEEN 2000 AND 9000
+            GROUP BY o_orderstatus
         """,
         "events_hourly": """
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,

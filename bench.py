@@ -125,6 +125,7 @@ def run_encode(
     chunks_out: str | None = None,
     num_partitions: int | None = None,
     repeat_input: int = 1,
+    limit_rows: int | None = None,
 ):
     """Returns (seconds, totals dict). Timing covers read→shuffle→encode→agg."""
     import functools
@@ -135,6 +136,8 @@ def run_encode(
     from cpp_parquet_spark.engine import encode_pipeline
 
     df = spark.read.parquet(input_path)
+    if limit_rows is not None:
+        df = df.limit(limit_rows)
     if repeat_input > 1:
         df = functools.reduce(DataFrame.unionByName, [df] * repeat_input)
     t0 = time.time()
@@ -207,15 +210,25 @@ def scale_worker(cores: int) -> None:
     defensible wall-clock estimator."""
     spark = make_session(cores)
     warm_workers(spark, f"{WORK}/input.parquet")
+    # warm with the *exact* job shape once, untimed: the first run of
+    # the real job is consistently ~1.5-2x the steady state even after
+    # warm_workers (lazy JVM/codegen/Arrow paths the small warm job
+    # doesn't touch), and a wasted first sample halves the estimator's
+    # effective data
+    run_encode(spark, f"{WORK}/input.parquet", num_partitions=64, repeat_input=4, limit_rows=10000)
     times = []
-    for _ in range(2):
-        t = run_encode(spark, f"{WORK}/input.parquet", num_partitions=64, repeat_input=2)[0]
+    for _ in range(3):
+        # repeat_input=4: enough work per sample (~1 min at 1 core) that
+        # the ~1.5 s of fixed driver/scheduling overhead — which a real
+        # minutes-to-hours cluster job amortizes to nothing — stops
+        # distorting the compute-scaling measurement
+        t = run_encode(spark, f"{WORK}/input.parquet", num_partitions=64, repeat_input=4)[0]
         times.append(round(t, 3))
     hard_stop(spark)
     print(json.dumps({"cores": cores, "times": times}))
 
 
-def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 7, budget_sec: float = 1500.0) -> dict:
+def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: float = 1800.0) -> dict:
     """Interleaved N/4N encode-job samples in fresh subprocesses.
 
     Adaptive estimator (round-2 verdict): a level's min counts only when
@@ -234,16 +247,24 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 7, budget_sec: f
     t_start = time.time()
     rounds_run = 0
     for r in range(max_rounds):
-        for cores in (lo, hi) if r % 2 == 0 else (hi, lo):
-            # CPU-affinity pin to exactly `cores` CPUs: an executor with
-            # N cores has N cores *total* — unpinned, the local-mode
-            # JVM's helper threads (shuffle IO, GC) quietly borrow extra
-            # cores and deflate the small level's wall time, which is a
-            # protocol infidelity, not a measurement.  Offset 8 keeps
-            # the pin off CPU0's IRQ load.
-            cpuset = f"8-{8 + cores - 1}" if cores > 1 else "8"
+        # sample only the levels whose min still lacks corroboration —
+        # re-burning budget on an already-agreed level starves the
+        # noisy one (adding samples can only lower a min, so this is
+        # unbiased under the one-sided noise model); on a plausibility
+        # retry (superlinear ratio), resample both
+        levels = [c for c in (lo, hi) if _agreed_min(times[c]) is None] or [lo, hi]
+        if r % 2 == 1:
+            levels = levels[::-1]
+        for cores in levels:
+            # NOT CPU-pinned: measured A/B shows pinning the whole
+            # subprocess to N CPUs squeezes the shared local-mode JVM's
+            # shuffle/IO threads hardest at the larger level (4-core
+            # wall more than doubled), which mis-models a real cluster
+            # where those threads scale *with* executors.  The worker
+            # count (local[N]) bounds the compute parallelism; JVM
+            # services float, as they do per-executor on a cluster.
             out = subprocess.run(
-                ["taskset", "-c", cpuset, sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
+                [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
                 capture_output=True,
                 text=True,
                 timeout=900,

@@ -58,6 +58,8 @@ CHUNK_SCHEMA = StructType(
         StructField("plain_value_bytes", LongType(), False),
         StructField("encoded_bytes", LongType(), False),
         StructField("encode_ms", LongType(), False),
+        StructField("stat_min", BinaryType(), True),
+        StructField("stat_max", BinaryType(), True),
         StructField("payload", BinaryType(), False),
     ]
 )
@@ -76,6 +78,8 @@ _CHUNK_ARROW = pa.schema(
         ("plain_value_bytes", pa.int64()),
         ("encoded_bytes", pa.int64()),
         ("encode_ms", pa.int64()),
+        ("stat_min", pa.binary()),
+        ("stat_max", pa.binary()),
         ("payload", pa.binary()),
     ]
 )
@@ -100,6 +104,7 @@ def _encode_table(
     from cpp_parquet_spark.chunk import serialize_chunk
     from cpp_parquet_spark.kernels.levels import shred
     from cpp_parquet_spark.selector import select_codec
+    from cpp_parquet_spark.stats import chunk_stats
 
     import time
 
@@ -155,6 +160,7 @@ def _encode_table(
                 meta.plain_value_bytes,
                 meta.encoded_bytes,
                 int((time.time() - t0) * 1000),
+                *chunk_stats(sh.values),
                 blob,
             )
         )
@@ -329,6 +335,54 @@ def decode_dataframe(chunks: DataFrame, schema: StructType) -> DataFrame:
             yield flush()
 
     return grouped.mapInArrow(decode_batches, schema)
+
+
+def prune_chunks(
+    chunks: DataFrame,
+    schema: StructType,
+    column: str,
+    lower=None,
+    upper=None,
+) -> DataFrame:
+    """Stats-based chunk pruning: keep only chunks whose ``column`` may
+    contain a value in ``[lower, upper]`` (either bound optional).
+
+    This is predicate pushdown for the SGC chunk store — the analogue
+    of the Parquet row-group statistics our writer emits
+    (parquet_writer._statistics) and of the reference's ColumnMetaData
+    statistics slot.  The filter runs JVM-side on the (tiny) metadata
+    columns via the order-preserving ``stat_min``/``stat_max`` binary
+    keys (stats.py), so pruned chunk *payloads* are never shuffled to a
+    Python worker; survivors are selected per (part_id, chunk_id) with
+    a broadcast semi-join so all columns of a surviving chunk stay
+    aligned for :func:`decode_dataframe`.
+
+    Pruning is conservative (truncated string stats round outward);
+    callers still apply the exact predicate after decoding.  Chunks
+    whose ``column`` is entirely NULL are pruned when any bound is set
+    — NULL satisfies no range predicate.  For leaf columns under
+    lists, the semantics are "some element in range".
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from cpp_parquet_spark.stats import order_key
+
+    plans = {p.dotted: p for p in plan_from_schema(to_arrow_schema(schema))}
+    if column not in plans:
+        raise KeyError(f"unknown leaf column {column!r}; have {sorted(plans)}")
+    dtype = plans[column].arrow_type
+    if lower is None and upper is None:
+        return chunks
+    pred = F.col("column") == column
+    if lower is not None:
+        lo_key = order_key(lower, dtype, round_up=False)
+        pred = pred & F.col("stat_max").isNotNull() & (F.col("stat_max") >= F.lit(lo_key))
+    if upper is not None:
+        hi_key = order_key(upper, dtype, round_up=True)
+        pred = pred & F.col("stat_min").isNotNull() & (F.col("stat_min") <= F.lit(hi_key))
+    surviving = chunks.filter(pred).select("part_id", "chunk_id")
+    return chunks.join(F.broadcast(surviving), ["part_id", "chunk_id"], "leftsemi")
 
 
 def partition_for_encoding(

@@ -133,3 +133,103 @@ def test_list_of_struct_roundtrip(spark):
     src = base.select("k", "v", "w", "s")
     assert back.count() == 300
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_order_keys_preserve_order():
+    """stats.order_key: unsigned-lexicographic byte order == value order
+    across the type matrix, including negatives, floats, and the
+    truncated-string round-up contract."""
+    import random
+
+    from cpp_parquet_spark.stats import MAX_KEY_BYTES, order_key
+
+    rng = random.Random(7)
+    ints = sorted(
+        [rng.randint(-(2**62), 2**62 - 1) for _ in range(200)]
+        + [0, -1, 1, -(2**62), 2**62 - 1]
+    )
+    keys = [order_key(v, pa.int64()) for v in ints]
+    assert keys == sorted(keys)
+    floats = sorted(
+        [rng.uniform(-1e18, 1e18) for _ in range(200)] + [0.0, 1e-300, -1e-300, float("inf"), float("-inf")]
+    )
+    fkeys = [order_key(v, pa.float64()) for v in floats]
+    assert fkeys == sorted(fkeys)
+    # IEEE total order: -0.0 sorts strictly below +0.0 (conservative for stats)
+    assert order_key(-0.0, pa.float64()) < order_key(0.0, pa.float64())
+    strs = sorted("".join(rng.choices("ab\xff", k=rng.randint(0, 8))) for _ in range(200))
+    skeys = [order_key(s, pa.string()) for s in strs]
+    assert skeys == sorted(skeys)
+    # truncated max rounds OUTWARD: key is >= the full value's bytes
+    long = "z" * 100 + "a"
+    up = order_key(long, pa.string(), round_up=True)
+    assert up is not None and len(up) <= MAX_KEY_BYTES and up > long.encode()[:MAX_KEY_BYTES]
+    lo = order_key(long, pa.string(), round_up=False)
+    assert lo == long.encode()[:MAX_KEY_BYTES] <= long.encode()
+
+
+def test_chunk_stats_bound_values():
+    from cpp_parquet_spark.stats import chunk_stats, order_key
+
+    arr = pa.array([5, -17, 9000, None, 42], pa.int64())
+    mn, mx = chunk_stats(arr.drop_null())
+    assert mn == order_key(-17, pa.int64())
+    assert mx == order_key(9000, pa.int64())
+    assert chunk_stats(pa.array([], pa.int64())) == (None, None)
+
+
+def test_prune_chunks_correct_and_effective(spark):
+    """Pruning on a sorted key keeps the answer exact AND drops most
+    chunks; decoded output equals the unpruned filter."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe, prune_chunks
+
+    df = (
+        spark.range(0, 40_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        )
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=2048)
+    chunks.cache()
+    total_chunks = chunks.select("part_id", "chunk_id").distinct().count()
+    pruned = prune_chunks(chunks, df.schema, "k", lower=10_000, upper=12_000)
+    kept_chunks = pruned.select("part_id", "chunk_id").distinct().count()
+    assert kept_chunks < total_chunks / 3  # sorted input -> real pruning
+    decoded = decode_dataframe(pruned, df.schema).filter(
+        (F.col("k") >= 10_000) & (F.col("k") <= 12_000)
+    )
+    got = decoded.agg(
+        F.count("*"), F.sum("k"), F.round(F.sum("v"), 2), F.min("s"), F.max("s")
+    ).collect()[0]
+    exp = (
+        spark.range(10_000, 12_001)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        )
+        .agg(F.count("*"), F.sum("k"), F.round(F.sum("v"), 2), F.min("s"), F.max("s"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(exp)
+    chunks.unpersist()
+
+
+def test_prune_chunks_all_null_and_no_bounds(spark):
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe, prune_chunks
+
+    df = spark.range(0, 1000).select(
+        F.lit(None).cast("long").alias("n"), F.col("id").alias("k")
+    )
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=256)
+    # range predicate on an all-null column prunes everything (NULL
+    # satisfies no range predicate)
+    assert prune_chunks(chunks, df.schema, "n", lower=0).count() == 0
+    # no bounds -> untouched
+    assert prune_chunks(chunks, df.schema, "n").count() == chunks.count()
+    with pytest.raises(KeyError):
+        prune_chunks(chunks, df.schema, "nope", lower=1)
