@@ -215,14 +215,16 @@ def scale_worker(cores: int) -> None:
     # warm_workers (lazy JVM/codegen/Arrow paths the small warm job
     # doesn't touch), and a wasted first sample halves the estimator's
     # effective data
-    run_encode(spark, f"{WORK}/input.parquet", num_partitions=64, repeat_input=4, limit_rows=10000)
+    run_encode(spark, f"{WORK}/input.parquet", num_partitions=16, repeat_input=4, limit_rows=10000)
     times = []
     for _ in range(3):
-        # repeat_input=4: enough work per sample (~1 min at 1 core) that
-        # the ~1.5 s of fixed driver/scheduling overhead — which a real
-        # minutes-to-hours cluster job amortizes to nothing — stops
-        # distorting the compute-scaling measurement
-        t = run_encode(spark, f"{WORK}/input.parquet", num_partitions=64, repeat_input=4)[0]
+        # repeat_input=4: enough work per sample that fixed driver/
+        # scheduling overhead — which a real minutes-to-hours cluster
+        # job amortizes to nothing — stops distorting the ratio.
+        # 16 partitions = 4x the 4N level's cores (realistic sizing;
+        # 64 tiny partitions cost ~190 ms/task in per-task codec
+        # selection and Arrow framing, measured 40% of 1-core wall)
+        t = run_encode(spark, f"{WORK}/input.parquet", num_partitions=16, repeat_input=4)[0]
         times.append(round(t, 3))
     hard_stop(spark)
     print(json.dumps({"cores": cores, "times": times}))
@@ -356,16 +358,21 @@ def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8
     base_affinity = os.sched_getaffinity(0)
     for r in range(max_rounds):
         for procs in (lo, hi) if r % 2 == 0 else (hi, lo):
-            # same N-CPU pin as the pipeline protocol (children inherit)
+            # pin the WORKERS to exactly N CPUs (children inherit the
+            # affinity at fork), then restore the parent immediately:
+            # if the task-feeding parent shares the single pinned CPU
+            # with a 1-proc worker, T_N inflates and the ratio goes
+            # superlinear — the parent is the "driver", not an executor
             os.sched_setaffinity(0, set(range(8, 8 + procs)))
             try:
-                with mp.get_context("fork").Pool(procs) as pool:
-                    pool.map(_kernel_task, tasks, chunksize=1)  # warm arenas
-                    t0 = time.time()
-                    pool.map(_kernel_task, tasks, chunksize=1)
-                    times[procs].append(round(time.time() - t0, 3))
+                pool = mp.get_context("fork").Pool(procs)
             finally:
                 os.sched_setaffinity(0, base_affinity)
+            with pool:
+                pool.map(_kernel_task, tasks, chunksize=1)  # warm arenas
+                t0 = time.time()
+                pool.map(_kernel_task, tasks, chunksize=1)
+                times[procs].append(round(time.time() - t0, 3))
         rounds_run = r + 1
         m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
         if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:
@@ -411,16 +418,16 @@ def main() -> None:
     # sampling until two passes agree within 15%, max 4 passes — the
     # same reproducible-by-construction estimator as the scaling section
     enc_samples: list[float] = []
-    for _ in range(4):
+    for _ in range(8):
         enc_samples.append(run_encode(spark, input_path)[0])
-        if _agreed_min(enc_samples) is not None:
+        if len(enc_samples) >= 2 and _agreed_min(enc_samples) is not None:
             break
     t_encode = _agreed_min(enc_samples) or min(enc_samples + [t_write])
     queries["encode_pipeline"] = round(t_encode, 3)
     dec_samples: list[float] = []
-    for _ in range(4):
+    for _ in range(8):
         dec_samples.append(run_decode(spark, chunks_path))
-        if _agreed_min(dec_samples) is not None:
+        if len(dec_samples) >= 2 and _agreed_min(dec_samples) is not None:
             break
     t_decode = _agreed_min(dec_samples) or min(dec_samples)
     queries["decode_pipeline"] = round(t_decode, 3)
@@ -435,9 +442,14 @@ def main() -> None:
 
     for name in ("roundtrip_content", "roundtrip_lineitem_agg"):
         fn = entrymod.queries()[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        queries[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):  # min-of-up-to-3 with the same agreement rule
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            samples.append(round(time.time() - t0, 3))
+            if len(samples) >= 2 and _agreed_min(samples) is not None:
+                break
+        queries[name] = _agreed_min(samples) or min(samples)
     hard_stop(spark)
 
     # ---- scaling: identical encode job at N and 4N parallelism,
