@@ -82,3 +82,55 @@ def test_nan_column_roundtrips_without_stats(tmp_path):
     assert back[0] == 1.0 and back[2] == -2.0 and math.isnan(back[1])
     st_ = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
     assert not st_.has_min_max  # NaN poisons ordering: stats omitted
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    t=_tables(),
+    rg=st.integers(min_value=1, max_value=25),
+    gzip=st.booleans(),
+    use_dict=st.booleans(),
+)
+def test_random_tables_roundtrip_v2_pages(t, rg, gzip, use_dict, tmp_path_factory):
+    """Same sweep through DATA_PAGE_V2 + delta encodings: random
+    null-riddled tables must read back bit-exact via pyarrow."""
+    path = str(tmp_path_factory.mktemp("hyp2") / "t.parquet")
+    write_table(
+        t,
+        path,
+        row_group_rows=rg,
+        compression="gzip" if gzip else None,
+        use_dictionary=use_dict,
+        data_page_version=2,
+        page_records=7,  # force multi-page chunks at tiny sizes
+    )
+    back = pq.read_table(path)
+    assert back.num_rows == t.num_rows
+    for name in t.schema.names:
+        got = back.column(name).combine_chunks().to_pylist()
+        want = t.column(name).combine_chunks().to_pylist()
+        assert got == want, name
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-(2**62) + 1, max_value=2**62 - 1)),
+        max_size=300,
+    ),
+    v2=st.booleans(),
+)
+def test_random_ints_delta_binary_packed(vals, v2, tmp_path_factory):
+    """Random nullable int64 columns through the DELTA_BINARY_PACKED
+    eligibility gate (delta or PLAIN, whichever the size heuristic
+    picks) read back exactly — covers block/miniblock boundary cases."""
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    path = str(tmp_path_factory.mktemp("dbp") / "t.parquet")
+    write_table(
+        t,
+        path,
+        use_dictionary=False,
+        data_page_version=2 if v2 else 1,
+        page_records=129,  # straddle the 128-value delta block size
+    )
+    assert pq.read_table(path).column("v").to_pylist() == vals
