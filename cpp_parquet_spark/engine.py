@@ -170,11 +170,36 @@ def _encode_table(
     )
 
 
+def presample_codecs(df: DataFrame, rows: int = 8192, mode: str = "auto") -> dict[str, str]:
+    """Driver-side codec pre-selection: run the selector once on a small
+    prefix sample and return {leaf column -> codec} hints.
+
+    Cold-start selection (trial-encoding every column on each task's
+    first chunk) measured ~190 ms per task; at 10^6 tasks that is ~50
+    CPU-hours of pure overhead.  One tiny driver job replaces it; the
+    per-task drift guard still corrects any chunk where the hinted
+    codec loses to PLAIN, and the periodic memo refresh re-runs true
+    selection every ``_RESELECT`` chunks for long tasks.
+    """
+    from cpp_parquet_spark.kernels.levels import shred
+    from cpp_parquet_spark.selector import select_codec
+
+    tbl = df.limit(rows).toArrow()
+    hints: dict[str, str] = {}
+    for plan in plan_from_schema(_arrow_schema_for(df)):
+        col = tbl.column(plan.path[0])
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        sh = shred(arr, plan)
+        hints[plan.dotted] = select_codec(sh.values, plan.physical, mode=mode)
+    return hints
+
+
 def encode_dataframe(
     df: DataFrame,
     codec: str = "auto",
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     part_col: str | None = None,
+    codec_hints: dict[str, str] | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into compressed column chunks.
 
@@ -187,6 +212,10 @@ def encode_dataframe(
     checkpoint/resume (lineage.EncodeJob) able to re-derive and skip
     completed partitions.  The caller must have repartitioned and
     sorted by it.  Without it, ``part_id`` is the Spark partition id.
+
+    ``codec_hints`` (from :func:`presample_codecs`) seeds each task's
+    codec memo so the first chunk skips trial-encode selection; the
+    drift guard and periodic refresh keep the choice adaptive.
     """
     data_fields = [f for f in _arrow_schema_for(df) if f.name != part_col]
     plans = plan_from_schema(pa.schema(data_fields))
@@ -202,12 +231,14 @@ def encode_dataframe(
         pending_rows = 0
         chunk_id = 0
         cur_part = task_part
-        memo: dict = {}  # column -> codec, refreshed every _RESELECT chunks
+        # column -> codec, seeded from driver-side hints (skips the
+        # cold-start trial-encode), refreshed every _RESELECT chunks
+        memo: dict = dict(codec_hints or {})
         _RESELECT = 16
 
         def flush() -> pa.RecordBatch:
             nonlocal pending, pending_rows, chunk_id
-            if chunk_id % _RESELECT == 0:
+            if chunk_id % _RESELECT == 0 and chunk_id > 0:
                 memo.clear()
             tbl = pa.Table.from_batches(pending)
             out = _encode_table(tbl, plans, codec, cur_part, chunk_id, memo=memo)
@@ -444,12 +475,18 @@ def encode_pipeline(
     num_partitions: int | None = None,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     salt: bool = True,
+    presample: bool = True,
 ) -> DataFrame:
-    """repartition-by-(lang, repo, salt) → encode: the flagship path."""
+    """repartition-by-(lang, repo, salt) → encode: the flagship path.
+
+    ``presample`` runs the codec selector once driver-side and seeds
+    every task with the result (see :func:`presample_codecs`)."""
+    hints = presample_codecs(df) if presample and codec == "auto" else None
     return encode_dataframe(
         partition_for_encoding(df, keys=keys, num_partitions=num_partitions, salt=salt, target_rows=max(chunk_rows * 4, 1 << 18)),
         codec=codec,
         chunk_rows=chunk_rows,
+        codec_hints=hints,
     )
 
 
