@@ -123,6 +123,15 @@ def _encode_table(
         memoized = memo is not None and plan.dotted in memo
         if memoized:
             codec = memo[plan.dotted]
+            if codec == "fsst" and sh.values.nbytes > 32e6:
+                # re-apply the selector's own payload cap
+                # (selector.py:126) at chunk level: a memoized/hinted
+                # fsst must not capture a content-sized chunk that
+                # per-chunk selection would have cap-gated — fsst
+                # encodes at ~5-10 MB/s/core and the size-based drift
+                # guard cannot catch a slow-but-compressing codec
+                codec = select_codec(sh.values, plan.physical, mode=codec_mode)
+                memo[plan.dotted] = codec
         else:
             codec = select_codec(sh.values, plan.physical, mode=codec_mode)
             if memo is not None:

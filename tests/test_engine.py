@@ -263,3 +263,24 @@ def test_presample_codecs_and_hinted_encode(spark, sf_small):
     assert used["content"] != "rle" or True  # decode correctness is the real gate
     back_bad = decode_dataframe(chunks_bad, df.schema)
     assert sorted(back_bad.collect()) == sorted(df.collect())
+
+
+def test_hinted_fsst_cap_gated_on_big_chunks():
+    """A hinted/memoized fsst codec must not capture a chunk above the
+    selector's 32 MB payload cap (fsst encodes ~5-10 MB/s/core; the
+    size-based drift guard can't catch slow-but-compressing codecs)."""
+    import numpy as np
+
+    from cpp_parquet_spark.engine import _encode_table
+    from cpp_parquet_spark.schema_plan import plan_from_schema
+
+    # ~40 MB of mildly repetitive text in one chunk
+    rows = 40_000
+    vals = pa.array([f"line {i % 997} of synthetic text payload {'x' * 990}" for i in range(rows)])
+    tbl = pa.table({"content": vals})
+    plans = plan_from_schema(tbl.schema)
+    memo = {"content": "fsst"}
+    batch = _encode_table(tbl, plans, "auto", 0, 0, memo=memo)
+    used = batch.column(batch.schema.get_field_index("codec"))[0].as_py()
+    assert used != "fsst", used
+    assert memo["content"] == used  # memo updated to the reselected codec
