@@ -199,6 +199,16 @@ def presample_codecs(df: DataFrame, rows: int = 8192, mode: str = "auto") -> dic
         col = tbl.column(plan.path[0])
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         sh = shred(arr, plan)
+        if plan.physical == "BYTE_ARRAY" and len(sh.values):
+            avg_len = sh.values.nbytes / max(len(sh.values), 1)
+            if avg_len > 64:
+                # long-string codecs are size-dependent (lined's line
+                # dictionary needs many rows to pay off; fsst wins on
+                # small trials) — a prefix-sample hint mis-ranks them
+                # (measured: content hinted fsst = 3.1x vs per-chunk
+                # lined = 9.9x).  Leave such columns to true per-chunk
+                # selection.
+                continue
         hints[plan.dotted] = select_codec(sh.values, plan.physical, mode=mode)
     return hints
 
@@ -485,12 +495,18 @@ def encode_pipeline(
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     salt: bool = True,
     presample: bool = True,
+    codec_hints: dict[str, str] | None = None,
 ) -> DataFrame:
     """repartition-by-(lang, repo, salt) → encode: the flagship path.
 
     ``presample`` runs the codec selector once driver-side and seeds
-    every task with the result (see :func:`presample_codecs`)."""
-    hints = presample_codecs(df) if presample and codec == "auto" else None
+    every task with the result (see :func:`presample_codecs`); pass
+    ``codec_hints`` directly to reuse hints across multiple runs over
+    the same data (the hints are a driver-side constant — compute once,
+    encode for hours)."""
+    hints = codec_hints if codec_hints is not None else (
+        presample_codecs(df) if presample and codec == "auto" else None
+    )
     return encode_dataframe(
         partition_for_encoding(df, keys=keys, num_partitions=num_partitions, salt=salt, target_rows=max(chunk_rows * 4, 1 << 18)),
         codec=codec,

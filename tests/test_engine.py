@@ -248,7 +248,10 @@ def test_presample_codecs_and_hinted_encode(spark, sf_small):
 
     df = source_repos_from_documents(spark, sf_small)
     hints = presample_codecs(df)
-    assert set(hints) == {"repo", "path", "commit", "lang", "content"}
+    # long-string columns (content) are excluded: their codec ranking
+    # is chunk-size-dependent and a prefix-sample hint mis-ranks it
+    assert "content" not in hints
+    assert {"repo", "lang"} <= set(hints) <= {"repo", "path", "commit", "lang"}
     assert all(isinstance(c, str) and c for c in hints.values())
 
     chunks = encode_dataframe(df.repartition(2), codec="auto", codec_hints=hints)
