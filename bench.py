@@ -193,18 +193,29 @@ def _steal_frac():
     return int(parts[8]), sum(int(x) for x in parts[1:9])
 
 
-def _agreed_min(samples: list[float], tol: float = 0.15, need: int = 2):
+def _agreed_min(samples: list[float], tol: float = 0.15, need: int = 2, batches: list[int] | None = None):
     """Min accepted only when >= `need` samples lie within `tol` of it.
 
     This VM's interference is one-sided (steal windows only inflate), so
     min is the right location estimator — but a single lucky sample is
     not evidence.  Requiring a second sample within 15% makes the min
     reproducible-by-construction; return None (keep sampling) otherwise.
+
+    With ``batches`` (one group id per sample), the corroborating
+    sample must come from a *different* batch than the min: two
+    back-to-back runs in one subprocess share the same interference
+    window, so same-batch agreement can corroborate an equally-inflated
+    pair — cross-batch agreement is window-independent.
     """
     if not samples:
         return None
     m = min(samples)
-    return m if sum(1 for s in samples if s <= m * (1 + tol)) >= need else None
+    close = [i for i, s in enumerate(samples) if s <= m * (1 + tol)]
+    if len(close) < need:
+        return None
+    if batches is not None and len({batches[i] for i in close}) < 2:
+        return None
+    return m
 
 
 def scale_worker(cores: int) -> None:
@@ -257,6 +268,8 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: 
 
     lo, hi = SCALE_N, SCALE_N * 4
     times: dict[int, list[float]] = {lo: [], hi: []}
+    batches: dict[int, list[int]] = {lo: [], hi: []}
+    n_batches: dict[int, int] = {lo: 0, hi: 0}
     s0, j0 = _steal_frac()
     t_start = time.time()
     rounds_run = 0
@@ -266,7 +279,9 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: 
         # noisy one (adding samples can only lower a min, so this is
         # unbiased under the one-sided noise model); on a plausibility
         # retry (superlinear ratio), resample both
-        levels = [c for c in (lo, hi) if _agreed_min(times[c]) is None] or [lo, hi]
+        levels = [
+            c for c in (lo, hi) if _agreed_min(times[c], batches=batches[c]) is None
+        ] or [lo, hi]
         if r % 2 == 1:
             levels = levels[::-1]
         for cores in levels:
@@ -286,9 +301,12 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: 
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
             times[cores].extend(rec["times"])
+            batches[cores].extend([n_batches[cores]] * len(rec["times"]))
+            n_batches[cores] += 1
             print(f"[bench] scaling local[{cores}]: {rec['times']}", file=sys.stderr, flush=True)
         rounds_run = r + 1
-        m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+        m_lo = _agreed_min(times[lo], batches=batches[lo])
+        m_hi = _agreed_min(times[hi], batches=batches[hi])
         if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:
             if (m_lo / m_hi) / (hi / lo) <= 1.02:
                 break  # both levels reproducible and the ratio is sane
@@ -301,7 +319,8 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: 
             print("[bench] scaling budget exhausted", file=sys.stderr, flush=True)
             break
     s1, j1 = _steal_frac()
-    m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+    m_lo = _agreed_min(times[lo], batches=batches[lo])
+    m_hi = _agreed_min(times[hi], batches=batches[hi])
     agreed = m_lo is not None and m_hi is not None
     t_n = m_lo if m_lo is not None else min(times[lo])
     t_4n = m_hi if m_hi is not None else min(times[hi])
@@ -320,7 +339,7 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: 
         "rounds": rounds_run,
         "samples_n": times[lo],
         "samples_4n": times[hi],
-        "estimator": "agreed min (>=2 samples within 15%) over interleaved fresh-process samples",
+        "estimator": "agreed min (>=2 samples within 15%, spanning >=2 subprocesses) over interleaved fresh-process samples",
         "steal_pct_window": round(100 * (s1 - s0) / max(j1 - j0, 1), 2),
     }
 
@@ -365,6 +384,7 @@ def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8
     tasks = [(i, min(rows, n - i)) for i in range(0, n, rows)]
     lo, hi = SCALE_N, SCALE_N * 4
     times: dict[int, list[float]] = {lo: [], hi: []}
+    kbatches: dict[int, list[int]] = {lo: [], hi: []}
     t_start = time.time()
     rounds_run = 0
     base_affinity = os.sched_getaffinity(0)
@@ -388,16 +408,19 @@ def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8
                     t0 = time.time()
                     pool.map(_kernel_task, tasks, chunksize=1)
                     times[procs].append(round(time.time() - t0, 3))
+                    kbatches[procs].append(r)
             finally:
                 os.sched_setaffinity(0, base_affinity)
         rounds_run = r + 1
-        m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+        m_lo = _agreed_min(times[lo], batches=kbatches[lo])
+        m_hi = _agreed_min(times[hi], batches=kbatches[hi])
         if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:
             if (m_lo / m_hi) / (hi / lo) <= 1.02:
                 break
         if time.time() - t_start > budget_sec:
             break
-    m_lo, m_hi = _agreed_min(times[lo]), _agreed_min(times[hi])
+    m_lo = _agreed_min(times[lo], batches=kbatches[lo])
+    m_hi = _agreed_min(times[hi], batches=kbatches[hi])
     agreed = m_lo is not None and m_hi is not None
     t_n = m_lo if m_lo is not None else min(times[lo])
     t_4n = m_hi if m_hi is not None else min(times[hi])
