@@ -341,6 +341,15 @@ def run_pipeline_scaling(min_rounds: int = 2, max_rounds: int = 12, budget_sec: 
         "samples_4n": times[hi],
         "estimator": "agreed min (>=2 samples within 15%, spanning >=2 subprocesses) over interleaved fresh-process samples",
         "steal_pct_window": round(100 * (s1 - s0) / max(j1 - j0, 1), 2),
+        "note": (
+            "single-box local-mode ceiling: the shared driver/executor JVM's "
+            "framework share scales ~0.6-0.7 at 1->4 even for a no-Python "
+            "shuffle-only job (BASELINE.md round-3 decomposition), capping the "
+            "full-pipeline ratio at ~0.72-0.76 in clean windows; the engine's "
+            "own compute scaling is scaling_kernel (0.92-1.0, separate "
+            "processes). On a real N->4N executor cluster the JVM count "
+            "scales with N."
+        ),
     }
 
 
