@@ -25,7 +25,7 @@ import shutil
 import subprocess
 import time
 
-MASTER_URL = "spark://127.0.0.1:7077"
+DEFAULT_PORT = 7077
 
 
 def _spark_home() -> str:
@@ -42,10 +42,18 @@ def _java() -> str:
 class StandaloneCluster:
     """Context manager: master + ``workers`` one-core worker JVMs."""
 
-    def __init__(self, workers: int = 4, worker_mem: str = "6g", work_dir: str = "/tmp/sgc-standalone"):
+    def __init__(
+        self,
+        workers: int = 4,
+        worker_mem: str = "6g",
+        work_dir: str = "/tmp/sgc-standalone",
+        port: int = DEFAULT_PORT,
+    ):
         self.workers = workers
         self.worker_mem = worker_mem
         self.work_dir = work_dir
+        self.port = port
+        self.master_url = f"spark://127.0.0.1:{port}"
         self.procs: list[subprocess.Popen] = []
 
     def __enter__(self):
@@ -67,7 +75,7 @@ class StandaloneCluster:
 
         launch(
             "org.apache.spark.deploy.master.Master",
-            "--host", "127.0.0.1", "--port", "7077", "--webui-port", "0",
+            "--host", "127.0.0.1", "--port", str(self.port), "--webui-port", "0",
         )
         time.sleep(4)
         for i in range(self.workers):
@@ -75,7 +83,7 @@ class StandaloneCluster:
                 "org.apache.spark.deploy.worker.Worker",
                 "--cores", "1", "--memory", self.worker_mem, "--webui-port", "0",
                 "--work-dir", os.path.join(self.work_dir, f"worker{i}"),
-                MASTER_URL,
+                self.master_url,
             )
         time.sleep(4 + self.workers)
         return self
@@ -103,7 +111,7 @@ class StandaloneCluster:
         from pyspark.sql import SparkSession
 
         b = (
-            SparkSession.builder.master(MASTER_URL)
+            SparkSession.builder.master(self.master_url)
             .appName(app_name)
             .config("spark.submit.pyFiles", self.package_zip())
             .config("spark.executor.cores", "1")
