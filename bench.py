@@ -416,8 +416,13 @@ def exec_scale_worker() -> None:
                         return time.time() - t0
 
                     run(df0.limit(8000))  # spin up + warm the executor pythons
-                    run(df)  # exact-shape warm (fresh executor JVMs each app)
-                    for _ in range(2):
+                    # two exact-shape warms: each app starts fresh
+                    # executor JVMs, and at the 4N level each JVM sees
+                    # only a quarter of the warm work — double-warming
+                    # narrows the per-JVM JIT asymmetry between levels
+                    run(df)
+                    run(df)
+                    for _ in range(3):
                         times[execs].append(round(run(df), 3))
                         batches[execs].append(nb[execs])
                     nb[execs] += 1
