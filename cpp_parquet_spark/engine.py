@@ -412,6 +412,13 @@ def prune_chunks(
     whose ``column`` is entirely NULL are pruned when any bound is set
     — NULL satisfies no range predicate.  For leaf columns under
     lists, the semantics are "some element in range".
+
+    NULL-stat semantics: an all-null/empty chunk has *both* keys NULL;
+    a chunk whose max is not expressible as a truncated key (first 64
+    bytes all 0xFF, stats._bytes_key) has ``stat_min`` set but
+    ``stat_max`` NULL, meaning "unbounded above" — such a chunk is
+    always KEPT under a lower-bound predicate.  An unorderable bound
+    raises rather than building a silently-NULL predicate.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -424,13 +431,25 @@ def prune_chunks(
     dtype = plans[column].arrow_type
     if lower is None and upper is None:
         return chunks
-    pred = F.col("column") == column
+    # stat_min is non-NULL for every chunk with live values of an
+    # orderable type (a round-down bytes key always exists), so this
+    # single conjunct prunes all-null/empty chunks for any bound.
+    pred = (F.col("column") == column) & F.col("stat_min").isNotNull()
     if lower is not None:
         lo_key = order_key(lower, dtype, round_up=False)
-        pred = pred & F.col("stat_max").isNotNull() & (F.col("stat_max") >= F.lit(lo_key))
+        if lo_key is None:
+            raise ValueError(f"no order-preserving key for lower bound {lower!r} of dtype {dtype}")
+        # stat_max NULL with stat_min set = "unbounded above": keep.
+        pred = pred & ((F.col("stat_max") >= F.lit(lo_key)) | F.col("stat_max").isNull())
     if upper is not None:
         hi_key = order_key(upper, dtype, round_up=True)
-        pred = pred & F.col("stat_min").isNotNull() & (F.col("stat_min") <= F.lit(hi_key))
+        if hi_key is None:
+            if order_key(upper, dtype, round_up=False) is None:
+                raise ValueError(f"no order-preserving key for upper bound {upper!r} of dtype {dtype}")
+            # upper rounds up past every expressible key (0xFF-prefixed
+            # var-length bound): the upper conjunct is vacuously true.
+        else:
+            pred = pred & (F.col("stat_min") <= F.lit(hi_key))
     surviving = chunks.filter(pred).select("part_id", "chunk_id")
     return chunks.join(F.broadcast(surviving), ["part_id", "chunk_id"], "leftsemi")
 

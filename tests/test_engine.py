@@ -235,6 +235,52 @@ def test_prune_chunks_all_null_and_no_bounds(spark):
         prune_chunks(chunks, df.schema, "nope", lower=1)
 
 
+def test_prune_chunks_keeps_unbounded_above_stats(spark):
+    """A string chunk whose max truncates to 64 bytes of 0xFF has
+    stat_max=NULL ("unbounded above", stats._bytes_key) but LIVE data;
+    a lower-bound predicate must keep it, not silently drop rows."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe, prune_chunks
+
+    # a value whose raw first 64 bytes are all 0xFF: use binary, not
+    # str, to control the key bytes exactly
+    schema_df = spark.createDataFrame(
+        [(1, bytearray(b"\xff" * 70)), (2, bytearray(b"aaa")), (3, bytearray(b"zzz"))],
+        "k long, b binary",
+    ).repartition(1)
+    # one-row Arrow batches -> one chunk per row (the chunker flushes
+    # at batch granularity)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        chunks = encode_dataframe(schema_df, codec="auto", chunk_rows=1).cache()
+        chunks.count()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    # chunk containing b"\xff"*70: stat_min = 64x0xFF prefix, stat_max NULL
+    from cpp_parquet_spark.stats import chunk_stats
+
+    mn, mx = chunk_stats(pa.array([b"\xff" * 70], pa.binary()))
+    assert mn == b"\xff" * 64 and mx is None
+    pruned = prune_chunks(chunks, schema_df.schema, "b", lower=b"m")
+    got = sorted(
+        decode_dataframe(pruned, schema_df.schema).select("k").toPandas()["k"].tolist()
+    )
+    assert got == [1, 3]  # 0xFF-max chunk kept; "aaa" chunk pruned
+
+
+def test_prune_chunks_vacuous_upper_and_unorderable_key(spark):
+    from cpp_parquet_spark.engine import encode_dataframe, prune_chunks
+    from cpp_parquet_spark.stats import order_key
+
+    # order_key itself: unorderable dtype -> None
+    assert order_key([1, 2], pa.list_(pa.int64())) is None
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=8)
+    # an upper bound of 0xFF-bytes rounds up past every key: vacuous,
+    # keeps everything rather than pruning everything
+    kept = prune_chunks(chunks, df.schema, "s", upper=b"\xff" * 70)
+    assert kept.count() == chunks.count()
+
+
 def test_presample_codecs_and_hinted_encode(spark, sf_small):
     """Driver-side presample returns sane hints; a hinted encode
     produces chunks that decode identically to an unhinted one, with
