@@ -69,6 +69,11 @@ def hard_stop(spark) -> None:
             gw.proc.terminate()
         except Exception:
             pass
+    # clear the class-level gateway/JVM handles so a LATER session in
+    # this same process relaunches a gateway instead of dialing the
+    # dead one (ConnectionRefusedError otherwise)
+    SparkContext._gateway = None
+    SparkContext._jvm = None
 
 
 def make_session(cores: int):
@@ -192,6 +197,27 @@ def run_decode(spark, chunks_path: str) -> float:
     decoded = decode_dataframe(chunks, schema)
     decoded.groupBy().agg(F.count("*"), F.sum(F.length("content"))).collect()
     return time.time() - t0
+
+
+def run_store_write(spark, input_path: str) -> dict:
+    """One full checkpoint/lineage commit (EncodeJob) with per-phase
+    timings.  A single warm pass — the phase *split* is the deliverable
+    (where the write-side seconds go), not a min estimate."""
+    import shutil
+
+    from cpp_parquet_spark.lineage import EncodeJob
+
+    base = f"{WORK}/store_audit"
+    shutil.rmtree(base, ignore_errors=True)
+    df = spark.read.parquet(input_path)
+    job = EncodeJob(base, num_parts=CPUS)
+    t0 = time.time()
+    res = job.run(df)
+    total = round(time.time() - t0, 3)
+    shutil.rmtree(base, ignore_errors=True)
+    out = {"total_sec": total, "committed_partitions": res["committed_partitions"]}
+    out.update(res.get("timings", {}))
+    return out
 
 
 def _steal_frac():
@@ -371,6 +397,15 @@ def exec_scale_worker() -> None:
     Cross-executor shuffle is excluded deliberately — on one box it
     serializes through loopback, the resource that scales with nodes on
     a real cluster (BASELINE.md round-3 decomposition).
+
+    Partition-local job shape, round 4: the input is round-robined ONCE
+    into exactly 8 equal-row files per 4N-level executor and the
+    measured job maps one task per file (maxPartitionBytes ==
+    openCostInBytes), so every task is the same size and the 4N
+    makespan is work/4N rather than max-over-stragglers — file-split
+    imbalance was a large slice of round 3's 0.67-1.0 run-to-run
+    spread.  The job is also 2x round 3's size so per-job fixed costs
+    (submit, plan, collect) amortize.
     """
     import functools
 
@@ -381,10 +416,20 @@ def exec_scale_worker() -> None:
     from cpp_parquet_spark.standalone import StandaloneCluster
 
     lo, hi = SCALE_N, SCALE_N * 4
+    repeat = int(os.environ.get("BENCH_EXEC_REPEAT", "8"))
+    n_files = hi * 8
+    exec_input = f"{WORK}/exec_input.parquet"
+    prep = make_session(8)
+    df_in = prep.read.parquet(f"{WORK}/input.parquet")
+    functools.reduce(DataFrame.unionByName, [df_in] * repeat).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(exec_input)
+    hard_stop(prep)
+
     times: dict[int, list[float]] = {lo: [], hi: []}
     batches: dict[int, list[int]] = {lo: [], hi: []}
     nb: dict[int, int] = {lo: 0, hi: 0}
-    min_rounds, max_rounds, budget_sec = 2, 5, 1200.0
+    min_rounds, max_rounds, budget_sec = 2, 5, 1500.0
     t_start = time.time()
     rounds_run = 0
     with StandaloneCluster(workers=hi, work_dir=f"{WORK}/standalone", port=7177) as cl:
@@ -401,12 +446,21 @@ def exec_scale_worker() -> None:
                     **{
                         "spark.local.dir": SPARK_LOCAL_DIR,
                         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+                        # one task per pre-balanced file: openCost ==
+                        # maxPartitionBytes means no bin ever packs two
+                        "spark.sql.files.maxPartitionBytes": str(64 << 20),
+                        "spark.sql.files.openCostInBytes": str(64 << 20),
+                        "spark.locality.wait": "0s",
+                        "spark.sql.adaptive.enabled": "false",
+                        # never start a measured stage on a partial
+                        # executor set
+                        "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+                        "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
                     },
                 )
                 try:
-                    df0 = spark.read.parquet(f"{WORK}/input.parquet")
-                    hints = presample_codecs(df0)
-                    df = functools.reduce(DataFrame.unionByName, [df0] * 4)
+                    df = spark.read.parquet(exec_input)
+                    hints = presample_codecs(df)
 
                     def run(d):
                         t0 = time.time()
@@ -415,7 +469,7 @@ def exec_scale_worker() -> None:
                         ).collect()
                         return time.time() - t0
 
-                    run(df0.limit(8000))  # spin up + warm the executor pythons
+                    run(df.limit(8000))  # spin up + warm the executor pythons
                     # two exact-shape warms: each app starts fresh
                     # executor JVMs, and at the 4N level each JVM sees
                     # only a quarter of the warm work — double-warming
@@ -461,7 +515,9 @@ def exec_scale_worker() -> None:
                 "rounds": rounds_run,
                 "samples_n": times[lo],
                 "samples_4n": times[hi],
-                "mode": "real standalone cluster (Master + one-core Worker JVMs), map-only encode stage, package via spark.submit.pyFiles",
+                "mode": "real standalone cluster (Master + one-core Worker JVMs), partition-local map-only encode stage over pre-balanced equal-row files (one task per file), package via spark.submit.pyFiles",
+                "input_files": n_files,
+                "input_repeat": repeat,
                 "estimator": "agreed min (>=2 samples within 15%, spanning >=2 sessions)",
             }
         )
@@ -533,20 +589,39 @@ def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8
     t_start = time.time()
     rounds_run = 0
     base_affinity = os.sched_getaffinity(0)
+    avail = sorted(base_affinity)
+
+    def _pick_cpus(procs: int):
+        """Spread `procs` worker CPUs evenly over the actually-available
+        set (no hardcoded ids — a smaller host or a constrained cgroup
+        must degrade to unpinned, not crash or silently share CPUs),
+        plus a distant parent CPU."""
+        if procs + 1 > len(avail):
+            return None, None  # not enough CPUs to pin distinctly: skip pinning
+        step = max(1, len(avail) // (procs + 1))
+        workers = [avail[(i * step) % len(avail)] for i in range(procs)]
+        if len(set(workers)) < procs:
+            return None, None
+        parent = avail[-1] if avail[-1] not in workers else avail[-2]
+        return workers, parent
+
     for r in range(max_rounds):
         for procs in (lo, hi) if r % 2 == 0 else (hi, lo):
-            # pin each WORKER to its own spread-out CPU (8, 12, 16, 20:
-            # no shared L2 pairs between workers) and the task-feeding
-            # parent to a fixed distant CPU at BOTH levels, so parent
-            # interference and cache-sharing are level-independent —
-            # asymmetric parent/cache effects measured as spurious
-            # super-linear ratios (1.08) that invalidate the figure
-            worker_cpus = [8, 12, 16, 20][:procs]
-            os.sched_setaffinity(0, set(worker_cpus))
+            # pin each WORKER to its own spread-out CPU (no shared L2
+            # pairs between workers when there is room) and the
+            # task-feeding parent to a fixed distant CPU at BOTH
+            # levels, so parent interference and cache-sharing are
+            # level-independent — asymmetric parent/cache effects
+            # measured as spurious super-linear ratios (1.08) that
+            # invalidate the figure
+            worker_cpus, parent_cpu = _pick_cpus(procs)
+            if worker_cpus is not None:
+                os.sched_setaffinity(0, set(worker_cpus))
             try:
                 pool = mp.get_context("fork").Pool(procs)
             finally:
-                os.sched_setaffinity(0, {28})
+                if worker_cpus is not None:
+                    os.sched_setaffinity(0, {parent_cpu})
             try:
                 with pool:
                     pool.map(_kernel_task, tasks, chunksize=1)  # warm arenas
@@ -604,18 +679,30 @@ def main() -> None:
 
     hints = presample_codecs(spark.read.parquet(input_path))
 
-    t_write, totals = run_encode(spark, input_path, chunks_out=chunks_path, codec_hints=hints)
-    # headline = agreed min over no-write passes (the with-write pass is
-    # biased high and serves only as a fallback upper bound); keep
-    # sampling until two passes agree within 15%, max 4 passes — the
-    # same reproducible-by-construction estimator as the scaling section
+    # first pass of the session: true cold start (worker spin-up, codec
+    # JIT-ish numpy warmup, page cache).  Recorded separately — r3
+    # conflated it with write cost and reported a misleading 29 s
+    # "encode_with_write".
+    t_cold, totals = run_encode(spark, input_path, chunks_out=chunks_path, codec_hints=hints)
+    # headline = agreed min over warm no-write passes; keep sampling
+    # until two passes agree within 15%, max 8 passes — the same
+    # reproducible-by-construction estimator as the scaling section
     enc_samples: list[float] = []
     for _ in range(8):
         enc_samples.append(run_encode(spark, input_path, codec_hints=hints)[0])
         if len(enc_samples) >= 2 and _agreed_min(enc_samples) is not None:
             break
-    t_encode = _agreed_min(enc_samples) or min(enc_samples + [t_write])
+    t_encode = _agreed_min(enc_samples) or min(enc_samples + [t_cold])
     queries["encode_pipeline"] = round(t_encode, 3)
+    # WARM with-write passes, same estimator, so the write-side
+    # overhead is apples-to-apples against the warm encode figure
+    wr_samples: list[float] = []
+    for _ in range(6):
+        wr_samples.append(run_encode(spark, input_path, chunks_out=chunks_path, codec_hints=hints)[0])
+        if len(wr_samples) >= 2 and _agreed_min(wr_samples) is not None:
+            break
+    t_write = _agreed_min(wr_samples) or min(wr_samples)
+    queries["encode_with_write"] = round(t_write, 3)
     dec_samples: list[float] = []
     for _ in range(8):
         dec_samples.append(run_decode(spark, chunks_path))
@@ -624,8 +711,11 @@ def main() -> None:
     t_decode = _agreed_min(dec_samples) or min(dec_samples)
     queries["decode_pipeline"] = round(t_decode, 3)
     headline_samples = {
+        "cold_first_pass_with_write": round(t_cold, 3),
         "encode_with_write": round(t_write, 3),
+        "write_overhead": round(max(t_write - t_encode, 0.0), 3),
         "encode": [round(t, 3) for t in enc_samples],
+        "encode_with_write_samples": [round(t, 3) for t in wr_samples],
         "decode": [round(t, 3) for t in dec_samples],
     }
 
@@ -642,6 +732,12 @@ def main() -> None:
             if len(samples) >= 2 and _agreed_min(samples) is not None:
                 break
         queries[name] = _agreed_min(samples) or min(samples)
+
+    # ---- store-write audit: the full checkpoint/lineage commit path
+    # (EncodeJob), phase-split so the write side is auditable —
+    # encode+stage write vs lineage derivation vs publish renames vs
+    # lineage commit (verdict r3 "What's wrong #3")
+    store_write = run_store_write(spark, input_path)
     hard_stop(spark)
 
     # ---- scaling: identical encode job at N and 4N parallelism,
@@ -683,11 +779,33 @@ def main() -> None:
             "bytes_per_row": round(totals["encoded_bytes"] / max(totals["rows"], 1), 2),
         },
         "headline_samples": headline_samples,
+        "store_write": store_write,
         "scaling_executors": scaling_executors,
         "scaling": scaling,
         "scaling_kernel": scaling_kernel,
     }
-    print(json.dumps(result))
+    # Full result (all samples arrays, notes, modes) goes to a FILE;
+    # stdout gets one COMPACT line the driver's tail capture can always
+    # parse — r3's line outgrew the capture window and the artifact of
+    # record came back "parsed": null.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=2)
+    compact = json.loads(json.dumps(result))
+    for sc in ("scaling_executors", "scaling", "scaling_kernel"):
+        for k in ("samples_n", "samples_4n", "note", "mode", "estimator"):
+            (compact.get(sc) or {}).pop(k, None)
+    compact["headline_samples"] = {
+        "cold_first_pass_with_write": headline_samples["cold_first_pass_with_write"],
+        "encode_with_write": headline_samples["encode_with_write"],
+        "write_overhead": headline_samples["write_overhead"],
+        "encode_min": min(headline_samples["encode"]),
+        "decode_min": min(headline_samples["decode"]),
+    }
+    compact["full_results_file"] = "BENCH_FULL.json"
+    line = json.dumps(compact)
+    print(f"[bench] compact line: {len(line)} bytes; full result -> {full_path}", file=sys.stderr, flush=True)
+    print(line)
 
 
 if __name__ == "__main__":

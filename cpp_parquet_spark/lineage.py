@@ -125,10 +125,18 @@ class EncodeJob:
 
         ``only_parts`` restricts the run (used by tests to simulate an
         interrupted job).
+
+        The returned dict carries a ``timings`` sub-dict splitting the
+        commit into its phases (encode+stage write, lineage derivation,
+        publish renames, lineage commit) so the write-side cost can be
+        audited separately from encode compute.
         """
         spark = df.sparkSession
+        timings: dict[str, float] = {}
+        t0 = time.time()
         completed = self.completed_parts(spark)
         orphans = self._clean_orphans(completed)
+        timings["resume_scan_sec"] = round(time.time() - t0, 3)
 
         keyed = self.with_part(df)
         pending = keyed
@@ -151,7 +159,9 @@ class EncodeJob:
         shuffled = pending.repartition(self.num_parts, F.col("_part")).sortWithinPartitions("_part")
         chunks = encode_dataframe(shuffled, codec=self.codec, chunk_rows=self.chunk_rows, part_col="_part")
         staging = os.path.join(self.base_dir, f"staging-{self.snapshot_id}-a{attempt}")
+        t0 = time.time()
         chunks.write.mode("overwrite").partitionBy("part_id").parquet(staging)
+        timings["encode_and_stage_write_sec"] = round(time.time() - t0, 3)
 
         staged_parts = [n for n in os.listdir(staging) if n.startswith("part_id=")]
         if not staged_parts:  # nothing pending: no-op resume
@@ -161,7 +171,9 @@ class EncodeJob:
                 "skipped_partitions": len(completed),
                 "orphans_cleaned": orphans,
                 "attempt": attempt,
+                "timings": timings,
             }
+        t0 = time.time()
         written = spark.read.parquet(staging)
         new_lineage = (
             written.groupBy("part_id")
@@ -190,10 +202,12 @@ class EncodeJob:
         # staged files move out from under the lazy plan
         lineage_rows = new_lineage.collect()
         lineage_schema = new_lineage.schema
+        timings["lineage_derive_sec"] = round(time.time() - t0, 3)
 
         # publish: move staged part dirs into the chunk store, then
         # commit lineage; a crash in between leaves orphans that
         # _clean_orphans drops on the next resume
+        t0 = time.time()
         os.makedirs(self.chunks_dir, exist_ok=True)
         for name in os.listdir(staging):
             if not name.startswith("part_id="):
@@ -203,15 +217,33 @@ class EncodeJob:
                 shutil.rmtree(dst)
             os.replace(os.path.join(staging, name), dst)
         shutil.rmtree(staging)
+        timings["publish_rename_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
         if lineage_rows:
-            spark.createDataFrame(lineage_rows, schema=lineage_schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.lineage_dir)
+            # the commit is <= num_parts metadata rows: write it
+            # driver-side with pyarrow (an Iceberg catalog commit is a
+            # driver/metadata operation, not a Spark job — routing it
+            # through createDataFrame+write cost ~1.9 s of fixed
+            # overhead per commit)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tbl = pa.Table.from_pylist(
+                [r.asDict() for r in lineage_rows], schema=to_arrow_schema(lineage_schema)
+            )
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            pq.write_table(
+                tbl,
+                os.path.join(self.lineage_dir, f"commit-{self.snapshot_id}-a{attempt}.parquet"),
+            )
+        timings["lineage_commit_sec"] = round(time.time() - t0, 3)
         return {
             "committed_partitions": len(lineage_rows),
             "skipped_partitions": len(completed),
             "orphans_cleaned": orphans,
             "attempt": attempt,
+            "timings": timings,
         }
 
     # -------------------------------------------------- read back

@@ -61,15 +61,20 @@ class StandaloneCluster:
         home = _spark_home()
         env = dict(os.environ, SPARK_HOME=home, SPARK_SCALA_VERSION="2.13")
         cp = os.path.join(home, "jars", "*")
+        self._logs: list = []
+        self._log_paths: dict[int, str] = {}
 
         def launch(cls: str, *args: str) -> subprocess.Popen:
-            log = open(os.path.join(self.work_dir, f"{cls.rsplit('.', 1)[-1]}-{len(self.procs)}.log"), "w")
+            path = os.path.join(self.work_dir, f"{cls.rsplit('.', 1)[-1]}-{len(self.procs)}.log")
+            log = open(path, "w")
+            self._logs.append(log)
             p = subprocess.Popen(
                 [_java(), "-cp", cp, "-Xmx1g", cls, *args],
                 stdout=log,
                 stderr=subprocess.STDOUT,
                 env=env,
             )
+            self._log_paths[p.pid] = path
             self.procs.append(p)
             return p
 
@@ -77,16 +82,65 @@ class StandaloneCluster:
             "org.apache.spark.deploy.master.Master",
             "--host", "127.0.0.1", "--port", str(self.port), "--webui-port", "0",
         )
-        time.sleep(4)
+        self._await(self._master_up, timeout=45.0, what=f"master RPC port {self.port}")
+        worker_logs = []
         for i in range(self.workers):
-            launch(
+            p = launch(
                 "org.apache.spark.deploy.worker.Worker",
                 "--cores", "1", "--memory", self.worker_mem, "--webui-port", "0",
                 "--work-dir", os.path.join(self.work_dir, f"worker{i}"),
                 self.master_url,
             )
-        time.sleep(4 + self.workers)
+            worker_logs.append(self._log_paths[p.pid])
+        self._await(
+            lambda: self._registered_workers(worker_logs) >= self.workers,
+            timeout=45.0 + 2.0 * self.workers,
+            what=f"{self.workers} workers registered with master",
+        )
         return self
+
+    def _master_up(self) -> bool:
+        import socket
+
+        try:
+            with socket.create_connection(("127.0.0.1", self.port), timeout=1.0):
+                return True
+        except OSError:
+            return False
+
+    @staticmethod
+    def _registered_workers(worker_logs: list[str]) -> int:
+        n = 0
+        for path in worker_logs:
+            try:
+                with open(path, "r", errors="replace") as f:
+                    if "Successfully registered with master" in f.read():
+                        n += 1
+            except OSError:
+                pass
+        return n
+
+    def _await(self, ready, timeout: float, what: str) -> None:
+        """Poll ``ready()`` with liveness checks: a JVM that exits early
+        surfaces as a clear error (with its log tail), not a later hang."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            for p in self.procs:
+                if p.poll() is not None:
+                    tail = ""
+                    path = self._log_paths.get(p.pid)
+                    if path and os.path.exists(path):
+                        with open(path, "r", errors="replace") as f:
+                            tail = "".join(f.readlines()[-15:])
+                    self.__exit__()
+                    raise RuntimeError(
+                        f"standalone JVM exited rc={p.returncode} while waiting for {what}\n{tail}"
+                    )
+            if ready():
+                return
+            time.sleep(0.25)
+        self.__exit__()
+        raise RuntimeError(f"timed out after {timeout:.0f}s waiting for {what}")
 
     def __exit__(self, *exc):
         for p in reversed(self.procs):
@@ -97,6 +151,12 @@ class StandaloneCluster:
             except subprocess.TimeoutExpired:
                 p.kill()
         self.procs.clear()
+        for log in getattr(self, "_logs", []):
+            try:
+                log.close()
+            except OSError:  # pragma: no cover
+                pass
+        self._logs = []
 
     def package_zip(self, repo_root: str | None = None) -> str:
         """Zip the engine package for spark.submit.pyFiles (--py-files)."""
