@@ -6,10 +6,12 @@ The reference ships two non-``.avsc`` schema examples —
 despite the extension, is a bare record schema) — but its walker only
 ever consumes the JSON form.  This module closes that gap from the
 public Avro IDL specification: a tokenizer + recursive-descent parser
-that lowers the IDL subset matching AvroSchemaWalker's scope
-(avro-schema-walker.cc:16-152 — records, two-branch null unions,
-arrays, primitives, named refs; enums/fixed raise exactly as the JSON
-path does) into ordinary Avro JSON schema dicts, which then flow
+that lowers the IDL subset matching-and-exceeding AvroSchemaWalker's
+scope (avro-schema-walker.cc:16-152 — records, two-branch null unions,
+arrays, primitives, named refs; plus enums → dictionary strings,
+fixed → FIXED_LEN_BYTE_ARRAY, and map<V> → Parquet MAP groups, which
+the reference's walker rejects) into ordinary Avro JSON schema dicts,
+which then flow
 through :func:`cpp_parquet_spark.avro_schema.arrow_schema_from_avro`'s
 corrected level math unchanged.
 
@@ -159,6 +161,41 @@ class _Parser:
             rec["namespace"] = namespace
         return rec
 
+    def enum_(self, namespace: str | None):
+        """``enum Name { A, B }`` (an optional ``= DEFAULT;`` tail per
+        IDL 1.11 is consumed, not interpreted)."""
+        self.expect("enum")
+        name = self.next()
+        self.expect("{")
+        symbols = []
+        while self.peek() != "}":
+            tok = self.next()
+            if tok != ",":
+                symbols.append(tok)
+        self.expect("}")
+        if self.peek() == "=":
+            self.next()
+            self.next()  # default symbol
+        if self.peek() == ";":
+            self.next()
+        d = {"type": "enum", "name": name, "symbols": symbols}
+        if namespace:
+            d["namespace"] = namespace
+        return d
+
+    def fixed_(self, namespace: str | None):
+        """``fixed Name(16);``"""
+        self.expect("fixed")
+        name = self.next()
+        self.expect("(")
+        size = int(self.next())
+        self.expect(")")
+        self.expect(";")
+        d = {"type": "fixed", "name": name, "size": size}
+        if namespace:
+            d["namespace"] = namespace
+        return d
+
     def protocol(self):
         ann = self.annotations()
         namespace = ann.get("namespace")
@@ -172,10 +209,10 @@ class _Parser:
             tok = self.peek()
             if tok in ("record", "error"):
                 types.append(self.record(ns))
-            elif tok in ("enum", "fixed"):
-                raise ValueError(
-                    f"Avro {tok} is not supported (matches the JSON walker's scope)"
-                )
+            elif tok == "enum":
+                types.append(self.enum_(ns))
+            elif tok == "fixed":
+                types.append(self.fixed_(ns))
             elif tok == "import":
                 raise ValueError("Avro IDL imports are not supported")
             else:
@@ -215,7 +252,8 @@ def arrow_schema_from_protocol(proto: dict, root: str | None = None) -> pa.Schem
     for t in proto.get("types", []):
         st, _ = _resolve(t, env, namespace)
         structs[t["name"]] = st
-        order.append(t["name"])
+        if t.get("type") in ("record", "error"):
+            order.append(t["name"])  # enums/fixed are named types, not roots
     if not order:
         raise ValueError("protocol declares no record types")
     root_name = root if root is not None else order[-1]

@@ -15,9 +15,11 @@ Two deliberate differences:
   * Avro logical types date / timestamp-millis / timestamp-micros map
     to real temporal Arrow types so the parquet writer annotates them.
 
-Scope matches the reference walker: records, arrays, two-branch null
-unions, primitives, named refs.  Maps/enums/fixed raise (the reference
-walker has no handling for them either).
+Scope covers the reference walker (records, arrays, two-branch null
+unions, primitives, named refs) plus three lowerings it lacks: enum →
+string leaf (the writer's dictionary page supplies the symbol table),
+fixed(n) → FIXED_LEN_BYTE_ARRAY(n), and map<string,V> → the Parquet
+3-level MAP group.
 """
 
 from __future__ import annotations
@@ -93,8 +95,29 @@ def _resolve(t, env: dict, ns: str | None = None) -> tuple[pa.DataType, bool]:
                 if lt is not None:
                     return lt, False
             return _PRIMITIVE[typ], False
-        if typ in ("map", "enum", "fixed"):
-            raise ValueError(f"Avro {typ} is not supported (nor by the reference walker)")
+        if typ == "enum":
+            # enum → string leaf: symbols are strings, and the writer's
+            # dictionary page recreates the symbol-table compression an
+            # Avro enum implies.  Named type: register for later refs.
+            rec_ns = t.get("namespace", ns)
+            st = pa.string()
+            env[t["name"]] = st
+            if rec_ns:
+                env[f"{rec_ns}.{t['name']}"] = st
+            return st, False
+        if typ == "fixed":
+            # fixed → FIXED_LEN_BYTE_ARRAY of the declared size
+            rec_ns = t.get("namespace", ns)
+            ft = pa.binary(int(t["size"]))
+            env[t["name"]] = ft
+            if rec_ns:
+                env[f"{rec_ns}.{t['name']}"] = ft
+            return ft, False
+        if typ == "map":
+            # Avro map<string, V> → Arrow map type (Parquet 3-level MAP
+            # group; keys required, values by V's nullability)
+            vt, vnull = _resolve(t["values"], env, ns)
+            return pa.map_(pa.string(), pa.field("value", vt, nullable=vnull)), False
     raise ValueError(f"unrecognized Avro schema fragment: {t!r}")
 
 

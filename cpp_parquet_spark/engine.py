@@ -317,6 +317,22 @@ def _merge_columns(field: pa.Field, cols: list[pa.Array]) -> pa.Array:
     if len(cols) == 1:
         return cols[0]
     t = field.type
+    if pa.types.is_map(t):
+        # leaves rebuilt as list<struct<key>> / list<struct<value>>;
+        # zip the entry structs, then re-type the list as a MapArray
+        # (identical physical layout) keeping offsets + validity
+        c0 = cols[0]
+        entries_field = pa.field(
+            "entries", pa.struct([t.key_field.with_name("key"), t.item_field.with_name("value")]), nullable=False
+        )
+        merged = _merge_columns(entries_field, [c.values for c in cols])
+        built = pa.ListArray.from_arrays(c0.offsets, merged)
+        if c0.null_count:
+            idx = pa.array(np.arange(len(c0), dtype=np.int64), mask=np.asarray(pc.is_null(c0)))
+            built = built.take(idx)
+        return pa.Array.from_buffers(
+            t, len(built), [built.buffers()[0], built.buffers()[1]], children=[built.values]
+        )
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         c0 = cols[0]
         assert all(len(c.values) == len(c0.values) for c in cols[1:])

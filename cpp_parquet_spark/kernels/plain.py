@@ -43,6 +43,18 @@ def _values_np(values: pa.Array, physical: str) -> np.ndarray:
     return np.ascontiguousarray(arr.astype(_FIXED_NP[physical], copy=False))
 
 
+def _flba_payload(values: pa.Array) -> np.ndarray:
+    """Raw back-to-back bytes of a fixed_size_binary array (the
+    Parquet PLAIN layout for FIXED_LEN_BYTE_ARRAY: no length prefixes,
+    n * type_length bytes)."""
+    if isinstance(values, pa.ChunkedArray):  # pragma: no cover - defensive
+        values = values.combine_chunks()
+    w = values.type.byte_width
+    data = np.frombuffer(values.buffers()[1], dtype=np.uint8)
+    start = values.offset * w
+    return data[start : start + len(values) * w]
+
+
 def _byte_components(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(lengths, payload bytes) of a string/binary array, zero-copy."""
     if not (pa.types.is_large_string(values.type) or pa.types.is_large_binary(values.type)):
@@ -58,6 +70,8 @@ def _byte_components(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def encode_plain(values: pa.Array, physical: str) -> bytes:
     n = len(values)
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        return _flba_payload(values).tobytes() if n else b""
     if physical != "BYTE_ARRAY":
         return _values_np(values, physical).tobytes() if n else b""
     if n == 0:
@@ -73,6 +87,8 @@ def encode_plain(values: pa.Array, physical: str) -> bytes:
 
 
 def decode_plain(buf: bytes, n: int, physical: str, arrow_type: pa.DataType) -> pa.Array:
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        return pa.Array.from_buffers(arrow_type, n, [None, pa.py_buffer(bytes(buf))])
     if physical != "BYTE_ARRAY":
         arr = np.frombuffer(buf, dtype=_FIXED_NP[physical], count=n)
         if pa.types.is_unsigned_integer(arrow_type):
@@ -112,6 +128,8 @@ def encode_plain_parquet(values: pa.Array, physical: str) -> bytes:
     :func:`encode_plain`.
     """
     n = len(values)
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        return _flba_payload(values).tobytes() if n else b""
     if physical != "BYTE_ARRAY":
         return _values_np(values, physical).tobytes() if n else b""
     if n == 0:
@@ -136,6 +154,8 @@ def plain_size(values: pa.Array, physical: str) -> int:
     (parquet-column.cc:367-381): n*width for fixed, Σ(4+len) for
     BYTE_ARRAY."""
     n = len(values)
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        return n * values.type.byte_width
     if physical != "BYTE_ARRAY":
         return n * _FIXED_NP[physical].itemsize
     if n == 0:

@@ -51,6 +51,7 @@ MAGIC = b"PAR1"
 
 # parquet.thrift enums (public format spec)
 _T_BOOLEAN, _T_INT32, _T_INT64, _T_INT96, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
+_T_FLBA = 7
 _PHYS_CODE = {
     "BOOLEAN": _T_BOOLEAN,
     "INT32": _T_INT32,
@@ -58,12 +59,13 @@ _PHYS_CODE = {
     "FLOAT": _T_FLOAT,
     "DOUBLE": _T_DOUBLE,
     "BYTE_ARRAY": _T_BYTE_ARRAY,
+    "FIXED_LEN_BYTE_ARRAY": _T_FLBA,
 }
 _REQUIRED, _OPTIONAL, _REPEATED = 0, 1, 2
 _ENC_PLAIN, _ENC_RLE = 0, 3
 _PAGE_DATA = 0
 _CODEC_UNCOMPRESSED = 0
-_CONV_UTF8, _CONV_LIST, _CONV_DATE = 0, 3, 6
+_CONV_UTF8, _CONV_MAP, _CONV_LIST, _CONV_DATE = 0, 1, 3, 6
 _CONV_TS_MILLIS, _CONV_TS_MICROS = 9, 10
 _CONV_INT = {"int8": 15, "int16": 16, "uint8": 11, "uint16": 12, "uint32": 13, "uint64": 14}
 
@@ -114,6 +116,10 @@ def _leaf_type_info(t: pa.DataType) -> tuple[int, int | None, bytes | None]:
         return _T_BYTE_ARRAY, _CONV_UTF8, _logical(1)  # STRING
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return _T_BYTE_ARRAY, None, None
+    if pa.types.is_fixed_size_binary(t):
+        # Avro `fixed` lowering; SchemaElement.type_length is emitted by
+        # _schema_elements from the Arrow byte_width
+        return _T_FLBA, None, None
     if pa.types.is_date32(t):
         return _T_INT32, _CONV_DATE, _logical(6)  # DATE
     if pa.types.is_timestamp(t):
@@ -143,6 +149,24 @@ def _schema_elements(
             for child in t:
                 walk(child, path + [f.name])
             return
+        if pa.types.is_map(t):
+            # standard 3-level MAP group: repeated key_value with a
+            # required key and the value leaf/group
+            elems.append(
+                tc.struct(
+                    tc.f_i32(3, rep),
+                    tc.f_binary(4, f.name),
+                    tc.f_i32(5, 1),
+                    tc.f_i32(6, _CONV_MAP),
+                    tc.f_struct(10, _logical(2)),  # MAP
+                )
+            )
+            elems.append(
+                tc.struct(tc.f_i32(3, _REPEATED), tc.f_binary(4, "key_value"), tc.f_i32(5, 2))
+            )
+            walk(t.key_field.with_name("key"), path + [f.name, "key_value"])
+            walk(t.item_field.with_name("value"), path + [f.name, "key_value"])
+            return
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             # standard 3-level LIST group
             elems.append(
@@ -165,6 +189,7 @@ def _schema_elements(
         elems.append(
             tc.struct(
                 tc.f_i32(1, code),
+                tc.f_i32(2, t.byte_width) if pa.types.is_fixed_size_binary(t) else None,
                 tc.f_i32(3, rep),
                 tc.f_binary(4, f.name),
                 tc.f_i32(6, conv) if conv is not None else None,
@@ -424,7 +449,7 @@ def _stat_bytes(scalar, t: pa.DataType) -> bytes | None:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         b = v.encode("utf-8")
         return b if len(b) <= _MAX_STAT_BYTES else None
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
         return v if len(v) <= _MAX_STAT_BYTES else None
     return None
 
@@ -446,13 +471,17 @@ def _statistics(sh: ShreddedColumn, plan: ColumnPlan) -> bytes | None:
         or pa.types.is_large_string(t)
         or pa.types.is_binary(t)
         or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t)
         or pa.types.is_date32(t)
         or pa.types.is_timestamp(t)
     )
     if ok_type and len(sh.values):
         if pa.types.is_floating(t) and pc.any(pc.is_nan(sh.values)).as_py():
             return tc.struct(*fields)  # NaN breaks min/max ordering: omit
-        mm = pc.min_max(sh.values)
+        try:
+            mm = pc.min_max(sh.values)
+        except pa.lib.ArrowNotImplementedError:  # e.g. FLBA on older Arrow
+            return tc.struct(*fields)
         mn, mx = _stat_bytes(mm["min"], t), _stat_bytes(mm["max"], t)
         if mn is not None and mx is not None:
             # both the modern (5/6) and deprecated (1/2) field pairs:
@@ -594,8 +623,13 @@ class ParquetWriter:
                         or pa.types.is_date32(vt2)
                     )
                     if signed_like and len(sh.values) and delta_bp_fits(sh.values):
-                        plain_bytes = len(sh.values) * (4 if plan.physical == "INT32" else 8)
-                        if len(encode_delta_binary_packed_array(sh.values)) < 0.9 * plain_bytes:
+                        # decide on a bounded contiguous sample: trial-
+                        # encoding the whole chunk doubled the encode
+                        # cost of every delta column (pages re-encode
+                        # the same values right below)
+                        sample = sh.values.slice(0, min(len(sh.values), 8192))
+                        plain_bytes = len(sample) * (4 if plan.physical == "INT32" else 8)
+                        if len(encode_delta_binary_packed_array(sample)) < 0.9 * plain_bytes:
                             enc = _ENC_DELTA_BP
                             encodings = [_ENC_DELTA_BP, _ENC_RLE]
                 data_offset = self._pos

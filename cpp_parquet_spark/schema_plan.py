@@ -53,6 +53,10 @@ _PHYSICAL = {
 def _physical_for(t: pa.DataType) -> str:
     if pa.types.is_timestamp(t):
         return "INT64"
+    if pa.types.is_fixed_size_binary(t):
+        # Avro `fixed` lowering target; type_length travels in the
+        # Arrow type (writer emits SchemaElement.type_length from it)
+        return "FIXED_LEN_BYTE_ARRAY"
     name = str(t)
     if name in _PHYSICAL:
         return _PHYSICAL[name]
@@ -103,6 +107,20 @@ def _walk_field(
         steps.append(Step("struct", f.name))
         for child in t:
             _walk_field(child, path, steps, out)
+        return
+    if pa.types.is_map(t):
+        # Parquet MAP group: repeated key_value struct with a required
+        # key and the value.  An Arrow MapArray is physically
+        # list<struct<key,value>>, so the generic rep+struct machinery
+        # shreds it; walking a synthetic entries field yields leaves
+        # (name.key, name.value) in DFS preorder.
+        steps.append(Step("rep", f.name))
+        entries = pa.field(
+            "entries",
+            pa.struct([t.key_field.with_name("key"), t.item_field.with_name("value")]),
+            nullable=False,
+        )
+        _walk_field(entries, path, steps, out, add_name=False)
         return
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         steps.append(Step("rep", f.name))

@@ -86,7 +86,7 @@ def order_key(value, dtype: pa.DataType, round_up: bool = False) -> bytes | None
         return _float_key(float(value))
     if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
         return _bytes_key(value.encode("utf-8") if isinstance(value, str) else bytes(value), round_up)
-    if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+    if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype) or pa.types.is_fixed_size_binary(dtype):
         return _bytes_key(bytes(value), round_up)
     return None  # unorderable type: no stats
 

@@ -141,14 +141,16 @@ def test_rejects_multi_branch_union_and_unknown_ref():
         plan_from_avro_json(
             {"type": "record", "name": "R", "fields": [{"name": "u", "type": "Missing"}]}
         )
-    with pytest.raises(ValueError, match="map"):
-        plan_from_avro_json(
-            {
-                "type": "record",
-                "name": "R",
-                "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}],
-            }
-        )
+    # maps are supported since round 4 (Parquet MAP group lowering) —
+    # they plan to key/value leaves instead of raising
+    plans = plan_from_avro_json(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}],
+        }
+    )
+    assert [p.dotted for p in plans] == ["m.key", "m.value"]
 
 
 def test_avro_plan_roundtrips_data():

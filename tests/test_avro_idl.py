@@ -99,10 +99,15 @@ def test_avdl_comments_defaults_annotations_messages():
     assert schema.field("vals").type == pa.list_(pa.field("element", pa.int64()))
 
 
-def test_avdl_enum_raises_like_json_walker():
-    text = "protocol P { enum E { A, B } }"
-    with pytest.raises(ValueError, match="enum"):
-        parse_avdl(text)
+def test_avdl_enum_parses_since_round4():
+    # enums are lowered (→ dictionary strings) since round 4 instead of
+    # raising; a bare enum still cannot be a root record
+    proto = parse_avdl("protocol P { enum E { A, B } }")
+    assert proto["types"] == [{"type": "enum", "name": "E", "symbols": ["A", "B"]}]
+    from cpp_parquet_spark.avro_idl import arrow_schema_from_protocol
+
+    with pytest.raises(ValueError, match="no record"):
+        arrow_schema_from_protocol(proto)
 
 
 def test_avpr_protocol_file(tmp_path):

@@ -1,0 +1,213 @@
+"""FIXED_LEN_BYTE_ARRAY and MapType coverage (round-4 gap closure).
+
+The reference's Avro walker stops at records/arrays/primitives
+(avro-schema-walker.h:24-35); its examples dir nevertheless ships
+schemas with enum/fixed members.  Round 4 lowers Avro enum → string
+(dictionary pages supply the symbol table), fixed(n) →
+FIXED_LEN_BYTE_ARRAY(n) — the one Parquet physical type the writer
+lacked — and map<string,V> → the Parquet 3-level MAP group, end to end
+through the chunk engine and the real-file writer, with pyarrow and
+DuckDB as independent readers (parquet-file-test.cc:37-50 spirit).
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cpp_parquet_spark.chunk import decode_chunk_to_column, serialize_chunk
+from cpp_parquet_spark.kernels.levels import shred
+from cpp_parquet_spark.parquet_writer import write_table
+from cpp_parquet_spark.schema_plan import plan_from_schema
+from cpp_parquet_spark.selector import select_codec
+
+
+def _chunk_roundtrip(arr: pa.Array, field: pa.Field) -> list:
+    """One column through plan→shred→codec→chunk→decode."""
+    from cpp_parquet_spark.engine import _merge_columns
+
+    plans = [p for p in plan_from_schema(pa.schema([field])) if p.path[0] == field.name]
+    cols = []
+    for plan in plans:
+        sh = shred(arr, plan)
+        codec = select_codec(sh.values, plan.physical)
+        blob, meta = serialize_chunk(sh, codec)
+        assert meta.num_entries == sh.num_entries
+        cols.append(decode_chunk_to_column(blob, plan))
+    return _merge_columns(field, cols).to_pylist()
+
+
+# ------------------------------------------------------------- FLBA
+
+
+def test_flba_chunk_roundtrip_all_codecs():
+    rng = np.random.default_rng(7)
+    # low-cardinality 16-byte digests: dict should win; plain must also work
+    pool = [rng.bytes(16) for _ in range(5)]
+    data = [pool[i % 5] for i in range(2000)] + [None] * 10
+    arr = pa.array(data, type=pa.binary(16))
+    f = pa.field("digest", pa.binary(16), nullable=True)
+    assert _chunk_roundtrip(arr, f) == data
+    # forced codecs on the shredded values
+    plan = plan_from_schema(pa.schema([f]))[0]
+    assert plan.physical == "FIXED_LEN_BYTE_ARRAY"
+    sh = shred(arr, plan)
+    for codec in ("plain", "dict", "rle"):
+        blob, _ = serialize_chunk(sh, codec)
+        assert decode_chunk_to_column(blob, plan).to_pylist() == data, codec
+    # dict beats plain on this distribution
+    dict_blob, _ = serialize_chunk(sh, "dict")
+    plain_blob, _ = serialize_chunk(sh, "plain")
+    assert len(dict_blob) < len(plain_blob) / 4
+
+
+def test_flba_parquet_file(tmp_path):
+    vals = [b"0123456789abcdef", None, b"\x00" * 16, b"\xff" * 16]
+    t = pa.table({"h": pa.array(vals, pa.binary(16)), "k": pa.array([1, 2, 3, 4], pa.int64())})
+    path = str(tmp_path / "flba.parquet")
+    write_table(t, path)
+    back = pq.read_table(path)
+    assert back.schema.field("h").type == pa.binary(16)
+    assert back.column("h").to_pylist() == vals
+    n, = duckdb.sql(f"select count(*) from '{path}' where h is not null").fetchone()
+    assert n == 3
+    got = [r[0] for r in duckdb.sql(f"select h from '{path}' order by k").fetchall()]
+    assert [g if g is None else bytes(g) for g in got] == vals
+
+
+def test_flba_stats_order_key():
+    from cpp_parquet_spark.stats import chunk_stats, order_key
+
+    arr = pa.array([b"b" * 16, b"a" * 16, b"c" * 16], pa.binary(16))
+    mn, mx = chunk_stats(arr)
+    assert mn == b"a" * 16 and mx == b"c" * 16
+    assert order_key(b"a" * 16, pa.binary(16)) == b"a" * 16
+
+
+# ------------------------------------------------------------- Map
+
+
+def test_map_chunk_roundtrip():
+    mt = pa.map_(pa.string(), pa.int64())
+    data = [[("a", 1), ("b", 2)], None, [], [("c", None), ("d", 9)]]
+    arr = pa.array(
+        [None if e is None else [{"key": k, "value": v} for k, v in e] for e in data],
+        type=pa.list_(
+            pa.field(
+                "entries",
+                pa.struct([pa.field("key", pa.string(), nullable=False), pa.field("value", pa.int64())]),
+                nullable=False,
+            )
+        ),
+    )
+    marr = pa.Array.from_buffers(mt, len(arr), [arr.buffers()[0], arr.buffers()[1]], children=[arr.values])
+    f = pa.field("m", mt, nullable=True)
+    plans = [p for p in plan_from_schema(pa.schema([f]))]
+    assert [p.dotted for p in plans] == ["m.key", "m.value"]
+    assert plans[0].max_def == 2 and plans[0].max_rep == 1  # opt(m) + rep
+    assert plans[1].max_def == 3 and plans[1].max_rep == 1  # + opt(value)
+    assert _chunk_roundtrip(marr, f) == data
+
+
+def test_map_parquet_file(tmp_path):
+    mt = pa.map_(pa.string(), pa.int64())
+    data = [[("a", 1), ("b", 2)], None, [], [("c", None)]]
+    t = pa.table({"m": pa.array(data, type=mt), "k": pa.array([1, 2, 3, 4], pa.int64())})
+    path = str(tmp_path / "map.parquet")
+    write_table(t, path)
+    back = pq.read_table(path)
+    assert pa.types.is_map(back.schema.field("m").type)
+    assert back.column("m").to_pylist() == data
+    # DuckDB's Python MAP repr in this build is {'key': [...], 'value': [...]}
+    rows = duckdb.sql(f"select m from '{path}' order by k").fetchall()
+    assert rows[0][0] == {"key": ["a", "b"], "value": [1, 2]}
+    assert rows[2][0] == {"key": [], "value": []}
+    k_n, = duckdb.sql(f"select count(*) from '{path}' where m is null").fetchone()
+    assert k_n == 1
+
+
+def test_map_spark_engine_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    df = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").alias("k"),
+            F.when(
+                F.col("id") % 7 != 0,
+                F.create_map(
+                    F.lit("lang"), F.concat(F.lit("l"), (F.col("id") % 5).cast("string")),
+                    F.lit("repo"), F.concat(F.lit("r"), (F.col("id") % 3).cast("string")),
+                ),
+            ).alias("attrs"),
+        )
+        .repartition(2)
+    )
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=128)
+    decoded = decode_dataframe(chunks, df.schema)
+    got = {r["k"]: r["attrs"] for r in decoded.collect()}
+    exp = {r["k"]: r["attrs"] for r in df.collect()}
+    assert got == exp
+
+
+# ------------------------------------------------------------- Avro
+
+
+def test_avro_enum_fixed_map_lowering():
+    from cpp_parquet_spark.avro_schema import arrow_schema_from_avro, plan_from_avro_json
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "namespace": "com.x",
+        "fields": [
+            {"name": "color", "type": {"type": "enum", "name": "Color", "symbols": ["RED", "BLUE"]}},
+            {"name": "md5", "type": {"type": "fixed", "name": "MD5", "size": 16}},
+            {"name": "again", "type": "MD5"},  # named-type reference
+            {"name": "tags", "type": {"type": "map", "values": ["null", "long"]}},
+        ],
+    }
+    s = arrow_schema_from_avro(schema)
+    assert s.field("color").type == pa.string()
+    assert s.field("md5").type == pa.binary(16)
+    assert s.field("again").type == pa.binary(16)
+    assert pa.types.is_map(s.field("tags").type)
+    plans = plan_from_avro_json(schema)
+    assert [p.dotted for p in plans] == ["color", "md5", "again", "tags.key", "tags.value"]
+    assert plans[1].physical == "FIXED_LEN_BYTE_ARRAY"
+
+
+def test_avro_idl_enum_fixed():
+    from cpp_parquet_spark.avro_idl import arrow_schema_from_protocol, parse_avdl
+
+    idl = """
+    @namespace("org.demo")
+    protocol P {
+      enum Suit { SPADES, HEARTS }
+      fixed Hash(32);
+      record Card {
+        Suit suit;
+        Hash content_hash;
+        union { null, Suit } alt;
+      }
+    }
+    """
+    proto = parse_avdl(idl)
+    kinds = {t["name"]: t["type"] for t in proto["types"]}
+    assert kinds == {"Suit": "enum", "Hash": "fixed", "Card": "record"}
+    s = arrow_schema_from_protocol(proto)  # root = last record, ignores named types
+    assert s.field("suit").type == pa.string() and not s.field("suit").nullable
+    assert s.field("content_hash").type == pa.binary(32)
+    assert s.field("alt").type == pa.string() and s.field("alt").nullable
+
+
+def test_prune_chunks_on_flba(spark):
+    """FLBA stat keys participate in chunk pruning like binary."""
+    from cpp_parquet_spark.stats import chunk_stats
+
+    arr = pa.array([b"m" * 16, b"z" * 16], pa.binary(16))
+    mn, mx = chunk_stats(arr)
+    assert mn == b"m" * 16 and mx == b"z" * 16
