@@ -140,6 +140,36 @@ def _q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip (round-4 Parquet MAP-group lowering): order
+    attributes packed into map<string,string> — with whole-map nulls
+    and null values — encoded → decoded through the engine's key/value
+    leaf codecs and Dremel reassembly, then unpacked back to columns."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(
+            F.create_map(
+                F.lit("status"),
+                F.col("o_orderstatus"),
+                F.lit("prio"),
+                F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_orderpriority")),
+            )
+        )
+        .alias("attrs"),
+    )
+    dec = decode_dataframe(encode_dataframe(src, codec="auto"), src.schema)
+    return dec.select(
+        "o_orderkey",
+        F.col("attrs")["status"].alias("status"),
+        F.col("attrs")["prio"].alias("prio"),
+        F.size("attrs").alias("n_entries"),
+    )
+
+
 def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column codec choice, fully SQL-oracled: the selection is
     deterministic (deterministic shuffle keys + trial-sample selector),
@@ -508,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_orders_nulls": _q_roundtrip_orders_nulls,
         "roundtrip_nested": _q_roundtrip_nested,
+        "roundtrip_map": _q_roundtrip_map,
         "codec_selection": _q_codec_selection,
         "plain_size_accounting": _q_plain_size_accounting,
         # training-data pipeline ops
@@ -598,6 +629,15 @@ def oracle_sql() -> dict[str, str]:
                    o_orderkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS price,
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
+            FROM orders
+        """,
+        "roundtrip_map": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS status,
+                   CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_orderpriority END AS prio,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        ELSE CAST(2 AS INTEGER) END AS n_entries
             FROM orders
         """,
         "plain_size_accounting": """
