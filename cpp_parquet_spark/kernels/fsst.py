@@ -155,8 +155,12 @@ def _train(sample: np.ndarray) -> tuple[list[tuple[np.ndarray, np.ndarray]], lis
             sym = sym_bytes[kk // _KEY_BASE] + sym_bytes[kk % _KEY_BASE]
             sym_bytes.append(sym)
             sym_len[tid] = len(sym)
-        rounds.append((chosen, ids))
+        before = len(toks)
         toks = _replace_pairs(toks, _pair_lut(chosen, ids))
+        # record the round's sample shrinkage so encode can skip
+        # replaying rounds the sample already shows to be stagnant —
+        # cheaper than paying a full-stream pass to discover it
+        rounds.append((chosen, ids, (before - len(toks)) / max(before, 1)))
         n_merged += len(chosen)
     return rounds, sym_bytes[256:]
 
@@ -164,13 +168,17 @@ def _train(sample: np.ndarray) -> tuple[list[tuple[np.ndarray, np.ndarray]], lis
 def encode_fsst(values: pa.Array) -> bytes:
     toks, n = _tokens_from_values(values)
     rounds, merged_syms = _train(_sample_tokens(toks))
-    for keys, ids in rounds:
+    for keys, ids, sample_shrink in rounds:
+        if sample_shrink < 0.005:
+            # the training sample already shows this round saves <0.5%:
+            # skip the full-stream pass entirely (its symbols just go
+            # unused in the stream); later rounds cascade on earlier
+            # merges, so stop rather than cherry-pick
+            break
         before = len(toks)
         toks = _replace_pairs(toks, _pair_lut(keys, ids))
         if before - len(toks) < before // 200:
-            # stagnant round: remaining rounds would save <0.5% each —
-            # skip them (their symbols just go unused in the stream)
-            break
+            break  # full-stream stagnation (distribution drift vs sample)
 
     n_merged = len(merged_syms)
     # codes: merged symbols first, then the most frequent remaining base
