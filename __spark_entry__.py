@@ -170,6 +170,35 @@ def _q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType round trip (round-4): lineitem prices as
+    decimal(12,2) — Parquet DECIMAL-as-FLBA semantics through the
+    engine's fixed-width kernels — aggregated exactly after decode."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.when(F.col("l_linenumber") % 4 == 0, None)
+        .otherwise((F.col("l_discount") * 100).cast("decimal(5,2)"))
+        .alias("disc_pct"),
+    )
+    dec = decode_dataframe(encode_dataframe(src, codec="auto"), src.schema)
+    # final aggregates cast to double: DuckDB's client surfaces DECIMAL
+    # aggregates as float64, so reporting doubles on both sides keeps
+    # the driver's value-hash comparison dtype-symmetric (the decimal
+    # data itself round-trips through the engine above)
+    return dec.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price").cast("decimal(18,2)").cast("double").alias("sum_price"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
+        F.count("disc_pct").alias("n_disc"),
+        F.sum("disc_pct").cast("decimal(18,2)").cast("double").alias("sum_disc"),
+    )
+
+
 def _q_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column codec choice, fully SQL-oracled: the selection is
     deterministic (deterministic shuffle keys + trial-sample selector),
@@ -539,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders_nulls": _q_roundtrip_orders_nulls,
         "roundtrip_nested": _q_roundtrip_nested,
         "roundtrip_map": _q_roundtrip_map,
+        "roundtrip_decimal": _q_roundtrip_decimal,
         "codec_selection": _q_codec_selection,
         "plain_size_accounting": _q_plain_size_accounting,
         # training-data pipeline ops
@@ -630,6 +660,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS price,
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
             FROM orders
+        """,
+        "roundtrip_decimal": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                        AS DOUBLE) AS sum_price,
+                   CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+                   CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+                   CAST(count(CASE WHEN l_linenumber % 4 = 0 THEN NULL
+                                   ELSE 1 END) AS BIGINT) AS n_disc,
+                   CAST(CAST(sum(CASE WHEN l_linenumber % 4 = 0 THEN NULL
+                                      ELSE CAST(l_discount * 100 AS DECIMAL(5,2)) END)
+                             AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc
+            FROM lineitem
         """,
         "roundtrip_map": """
             SELECT o_orderkey,

@@ -43,6 +43,16 @@ def _values_np(values: pa.Array, physical: str) -> np.ndarray:
     return np.ascontiguousarray(arr.astype(_FIXED_NP[physical], copy=False))
 
 
+def decimal_type_length(precision: int) -> int:
+    """Minimal FLBA byte length holding `precision` decimal digits
+    signed (Parquet LogicalTypes.md).  Readers (DuckDB) reject decimal
+    columns declared wider than this."""
+    n = 1
+    while 10**precision > 1 << (8 * n - 1):
+        n += 1
+    return n
+
+
 def _flba_payload(values: pa.Array) -> np.ndarray:
     """Raw back-to-back bytes of a fixed_size_binary array (the
     Parquet PLAIN layout for FIXED_LEN_BYTE_ARRAY: no length prefixes,
@@ -129,7 +139,20 @@ def encode_plain_parquet(values: pa.Array, physical: str) -> bytes:
     """
     n = len(values)
     if physical == "FIXED_LEN_BYTE_ARRAY":
-        return _flba_payload(values).tobytes() if n else b""
+        if n == 0:
+            return b""
+        payload = _flba_payload(values)
+        if pa.types.is_decimal(values.type):
+            # Parquet DECIMAL-as-FLBA is BIG-endian unscaled two's
+            # complement at the MINIMAL length for the precision
+            # (LogicalTypes.md; DuckDB rejects wider declarations);
+            # Arrow stores 16-byte little-endian — swap, then keep the
+            # low-order bytes (high bytes are sign extension by the
+            # precision bound)
+            w = values.type.byte_width
+            m = decimal_type_length(values.type.precision)
+            payload = payload.reshape(-1, w)[:, ::-1][:, w - m :]
+        return payload.tobytes()
     if physical != "BYTE_ARRAY":
         return _values_np(values, physical).tobytes() if n else b""
     if n == 0:

@@ -65,7 +65,7 @@ _REQUIRED, _OPTIONAL, _REPEATED = 0, 1, 2
 _ENC_PLAIN, _ENC_RLE = 0, 3
 _PAGE_DATA = 0
 _CODEC_UNCOMPRESSED = 0
-_CONV_UTF8, _CONV_MAP, _CONV_LIST, _CONV_DATE = 0, 1, 3, 6
+_CONV_UTF8, _CONV_MAP, _CONV_LIST, _CONV_DECIMAL, _CONV_DATE = 0, 1, 3, 5, 6
 _CONV_TS_MILLIS, _CONV_TS_MICROS = 9, 10
 _CONV_INT = {"int8": 15, "int16": 16, "uint8": 11, "uint16": 12, "uint32": 13, "uint64": 14}
 
@@ -120,6 +120,12 @@ def _leaf_type_info(t: pa.DataType) -> tuple[int, int | None, bytes | None]:
         # Avro `fixed` lowering; SchemaElement.type_length is emitted by
         # _schema_elements from the Arrow byte_width
         return _T_FLBA, None, None
+    if pa.types.is_decimal(t):
+        # DECIMAL as FLBA(16), big-endian unscaled two's complement
+        # (public spec LogicalTypes.md); scale/precision also go into
+        # SchemaElement fields 7/8 for old readers
+        dec = tc.struct(tc.f_i32(1, t.scale), tc.f_i32(2, t.precision))
+        return _T_FLBA, _CONV_DECIMAL, _logical(5, dec)
     if pa.types.is_date32(t):
         return _T_INT32, _CONV_DATE, _logical(6)  # DATE
     if pa.types.is_timestamp(t):
@@ -186,13 +192,24 @@ def _schema_elements(
             code, conv, logical = _T_INT96, None, None
         else:
             code, conv, logical = _leaf_type_info(t)
+        is_dec = pa.types.is_decimal(t)
+        if is_dec:
+            from cpp_parquet_spark.kernels.plain import decimal_type_length
+
+            flba_len = decimal_type_length(t.precision)
+        elif pa.types.is_fixed_size_binary(t):
+            flba_len = t.byte_width
+        else:
+            flba_len = None
         elems.append(
             tc.struct(
                 tc.f_i32(1, code),
-                tc.f_i32(2, t.byte_width) if pa.types.is_fixed_size_binary(t) else None,
+                tc.f_i32(2, flba_len) if flba_len is not None else None,
                 tc.f_i32(3, rep),
                 tc.f_binary(4, f.name),
                 tc.f_i32(6, conv) if conv is not None else None,
+                tc.f_i32(7, t.scale) if is_dec else None,
+                tc.f_i32(8, t.precision) if is_dec else None,
                 tc.f_struct(10, logical) if logical is not None else None,
             )
         )
@@ -451,6 +468,13 @@ def _stat_bytes(scalar, t: pa.DataType) -> bytes | None:
         return b if len(b) <= _MAX_STAT_BYTES else None
     if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
         return v if len(v) <= _MAX_STAT_BYTES else None
+    if pa.types.is_decimal(t):
+        import decimal as _dec
+
+        from cpp_parquet_spark.kernels.plain import decimal_type_length
+
+        unscaled = int(_dec.Decimal(v).scaleb(t.scale))
+        return unscaled.to_bytes(decimal_type_length(t.precision), "big", signed=True)
     return None
 
 
@@ -472,6 +496,7 @@ def _statistics(sh: ShreddedColumn, plan: ColumnPlan) -> bytes | None:
         or pa.types.is_binary(t)
         or pa.types.is_large_binary(t)
         or pa.types.is_fixed_size_binary(t)
+        or pa.types.is_decimal(t)
         or pa.types.is_date32(t)
         or pa.types.is_timestamp(t)
     )

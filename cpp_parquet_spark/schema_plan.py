@@ -57,6 +57,11 @@ def _physical_for(t: pa.DataType) -> str:
         # Avro `fixed` lowering target; type_length travels in the
         # Arrow type (writer emits SchemaElement.type_length from it)
         return "FIXED_LEN_BYTE_ARRAY"
+    if pa.types.is_decimal(t):
+        # Spark DecimalType → Parquet DECIMAL as FIXED_LEN_BYTE_ARRAY
+        # (decimal128: same 16-byte fixed-width buffer layout as FLBA;
+        # the wire writer byte-swaps to Parquet's big-endian form)
+        return "FIXED_LEN_BYTE_ARRAY"
     name = str(t)
     if name in _PHYSICAL:
         return _PHYSICAL[name]

@@ -88,6 +88,12 @@ def order_key(value, dtype: pa.DataType, round_up: bool = False) -> bytes | None
         return _bytes_key(value.encode("utf-8") if isinstance(value, str) else bytes(value), round_up)
     if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype) or pa.types.is_fixed_size_binary(dtype):
         return _bytes_key(bytes(value), round_up)
+    if pa.types.is_decimal(dtype):
+        # unscaled int128 in offset-binary (sign bit flipped), big-endian
+        import decimal as _dec
+
+        unscaled = int(_dec.Decimal(value).scaleb(dtype.scale))
+        return ((unscaled + (1 << 127)) % (1 << 128)).to_bytes(16, "big")
     return None  # unorderable type: no stats
 
 

@@ -204,6 +204,60 @@ def test_avro_idl_enum_fixed():
     assert s.field("alt").type == pa.string() and s.field("alt").nullable
 
 
+# ------------------------------------------------------------- Decimal
+
+
+def test_decimal_chunk_roundtrip_and_parquet_file(tmp_path):
+    from decimal import Decimal
+
+    t = pa.decimal128(12, 2)
+    vals = [Decimal("1234567890.12"), None, Decimal("-0.01"), Decimal("0"), Decimal("99.99")]
+    arr = pa.array(vals, type=t)
+    f = pa.field("amount", t, nullable=True)
+    got = _chunk_roundtrip(arr, f)
+    assert got == [None if v is None else Decimal(v).quantize(Decimal("0.01")) for v in vals]
+    # real parquet file: big-endian FLBA(16) + DECIMAL annotation
+    tab = pa.table({"amount": arr, "k": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    path = str(tmp_path / "dec.parquet")
+    write_table(tab, path)
+    back = pq.read_table(path)
+    assert back.schema.field("amount").type == t
+    assert back.column("amount").to_pylist() == tab.column("amount").to_pylist()
+    n, s = duckdb.sql(f"select count(amount), sum(amount) from '{path}'").fetchone()
+    assert n == 4 and s == Decimal("1234567990.10")
+
+
+def test_decimal_spark_engine_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000 / 100).cast("decimal(12,2)").alias("amt"),
+        )
+        .repartition(2)
+    )
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=256)
+    decoded = decode_dataframe(chunks, df.schema)
+    got = decoded.agg(F.sum("amt").alias("s"), F.count("*").alias("n")).collect()[0]
+    exp = df.agg(F.sum("amt").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert (got["s"], got["n"]) == (exp["s"], exp["n"])
+
+
+def test_decimal_order_key_monotone():
+    from decimal import Decimal
+
+    from cpp_parquet_spark.stats import order_key
+
+    t = pa.decimal128(10, 2)
+    vals = [Decimal("-1000.00"), Decimal("-0.01"), Decimal("0"), Decimal("0.01"), Decimal("999.99")]
+    keys = [order_key(v, t) for v in vals]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
 def test_prune_chunks_on_flba(spark):
     """FLBA stat keys participate in chunk pruning like binary."""
     from cpp_parquet_spark.stats import chunk_stats
