@@ -90,6 +90,8 @@ def _resolve(t, env: dict, ns: str | None = None) -> tuple[pa.DataType, bool]:
             return pa.list_(pa.field("element", it, nullable=inull)), False
         if typ in _PRIMITIVE:
             logical = t.get("logicalType")
+            if logical == "decimal" and typ == "bytes":
+                return pa.decimal128(int(t["precision"]), int(t.get("scale", 0))), False
             if logical is not None:
                 lt = _LOGICAL.get((typ, logical))
                 if lt is not None:
@@ -106,9 +108,13 @@ def _resolve(t, env: dict, ns: str | None = None) -> tuple[pa.DataType, bool]:
                 env[f"{rec_ns}.{t['name']}"] = st
             return st, False
         if typ == "fixed":
-            # fixed → FIXED_LEN_BYTE_ARRAY of the declared size
+            # fixed → FIXED_LEN_BYTE_ARRAY of the declared size;
+            # fixed/bytes with logicalType decimal → Parquet DECIMAL
             rec_ns = t.get("namespace", ns)
-            ft = pa.binary(int(t["size"]))
+            if t.get("logicalType") == "decimal":
+                ft = pa.decimal128(int(t["precision"]), int(t.get("scale", 0)))
+            else:
+                ft = pa.binary(int(t["size"]))
             env[t["name"]] = ft
             if rec_ns:
                 env[f"{rec_ns}.{t['name']}"] = ft

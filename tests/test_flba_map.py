@@ -180,6 +180,24 @@ def test_avro_enum_fixed_map_lowering():
     assert plans[1].physical == "FIXED_LEN_BYTE_ARRAY"
 
 
+def test_avro_decimal_logical():
+    from cpp_parquet_spark.avro_schema import arrow_schema_from_avro
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": {"type": "fixed", "name": "Amt", "size": 8,
+                                    "logicalType": "decimal", "precision": 12, "scale": 2}},
+            {"name": "b", "type": {"type": "bytes", "logicalType": "decimal",
+                                    "precision": 9, "scale": 4}},
+        ],
+    }
+    s = arrow_schema_from_avro(schema)
+    assert s.field("a").type == pa.decimal128(12, 2)
+    assert s.field("b").type == pa.decimal128(9, 4)
+
+
 def test_avro_idl_enum_fixed():
     from cpp_parquet_spark.avro_idl import arrow_schema_from_protocol, parse_avdl
 
