@@ -15,6 +15,10 @@ reference's independent-parser oracle; the LSH/ANN family
 (minhash/simhash/hyperplane/IVF) carries planted-pair oracles; and
 `events_sessionize` is the batch oracle of the applyInPandasWithState
 streaming sessionizer.
+
+Round-4 surfaces: `roundtrip_map` (Parquet 3-level MAP group through
+the engine) and `roundtrip_decimal` (DECIMAL-as-FLBA through the
+fixed-width kernels), both fully SQL-oracled.
 """
 
 from __future__ import annotations

