@@ -222,6 +222,27 @@ def test_avro_idl_enum_fixed():
     assert s.field("alt").type == pa.string() and s.field("alt").nullable
 
 
+def test_map_decimal_parquet_spark_readback(spark, tmp_path):
+    """Third independent reader: Spark parses our MAP-group + DECIMAL
+    FLBA files (pyarrow and DuckDB are covered above)."""
+    from decimal import Decimal
+
+    mt = pa.map_(pa.string(), pa.int64())
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "m": pa.array([[("a", 1)], None, []], type=mt),
+            "amt": pa.array([Decimal("10.50"), None, Decimal("-0.25")], pa.decimal128(12, 2)),
+        }
+    )
+    path = str(tmp_path / "md.parquet")
+    write_table(t, path)
+    rows = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    assert rows[1]["m"] == {"a": 1} and rows[2]["m"] is None and rows[3]["m"] == {}
+    assert rows[1]["amt"] == Decimal("10.50") and rows[2]["amt"] is None
+    assert rows[3]["amt"] == Decimal("-0.25")
+
+
 # ------------------------------------------------------------- Decimal
 
 
