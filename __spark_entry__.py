@@ -266,6 +266,19 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs.unionByName(dup))
 
 
+def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (Lee et al. exact-dedup
+    primitive): 64-char word-boundary-anchored spans whose md5 appears
+    in >1 document, rolled up per document.  Content-defined anchoring
+    makes detection alignment-invariant; pure JVM expressions + two
+    blocking-key shuffles; the DuckDB oracle recomputes md5(substring)
+    identically."""
+    from cpp_parquet_spark.pipeline.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dup_spans(docs).withColumnRenamed("id", "doc_id")
+
+
 def _q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold token Jaccard via the scale path: minhash-band
     candidate blocking + exact verification (token_jaccard_pairs_lsh).
@@ -579,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "quality_features": _q_quality_features,
         "dedup_exact": _q_dedup_exact,
+        "dedup_substring_spans": _q_dedup_substring_spans,
         "dedup_token_jaccard": _q_dedup_token_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -751,6 +765,22 @@ def oracle_sql() -> dict[str, str]:
             FROM all_docs
             GROUP BY sha256(text)
             HAVING count(*) > 1
+        """,
+        "dedup_substring_spans": """
+            WITH spans AS (
+              SELECT doc_id, pos, md5(substring(text, pos + 1, 64)) AS h
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(0, CAST(length(text) AS INT) - 64, 1)) AS pos)
+              WHERE length(text) >= 64
+                AND (pos = 0 OR substring(text, CAST(pos AS INT), 1) = ' ')
+            ), dups AS (
+              SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(min(pos) AS BIGINT) AS first_dup_pos
+            FROM spans JOIN dups USING (h)
+            GROUP BY doc_id
         """,
         "dedup_token_jaccard": """
             WITH t AS (

@@ -299,3 +299,65 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col).alias("id"),
         F.array_distinct(wins).alias("fingerprints"),
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 64,
+) -> DataFrame:
+    """Exact substring-duplication spans (the exact-dedup primitive of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every fixed-length character span starting at a WORD
+    BOUNDARY whose hash appears in MORE THAN ONE document, rolled up
+    per document.
+
+    Anchoring at content-defined positions (word starts) instead of a
+    fixed stride makes detection alignment-invariant: two copies of the
+    same passage produce identical span sets no matter where the
+    passage sits in each document — a fixed stride only matches copies
+    aligned mod stride (the winnowing/CDC insight).
+
+    Entirely JVM-side (sequence → explode → filter → substring → md5):
+    no Python in the data path.  The position explode is map-side and
+    collapses immediately at the word-boundary filter; only
+    (id, pos, 16-byte hash) rows — one per word — reach the two
+    blocking-key shuffles (span-hash groupBy, per-doc rollup).  Never
+    all-pairs.
+
+    Returns (id, n_dup_spans, first_dup_pos) for documents owning at
+    least one cross-document duplicated span.
+    """
+    spans = (
+        df.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(1))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        # word boundary: document start, or the char before the span is
+        # a space (substring is 1-based: position `pos` = 0-based pos-1)
+        .filter((F.col("pos") == 0) | (F.expr(f"substring({text_col}, pos, 1)") == " "))
+        .select(
+            "id",
+            "pos",
+            F.md5(F.expr(f"substring({text_col}, pos + 1, {span_len})")).alias("h"),
+        )
+    )
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    return (
+        spans.join(dup_h, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.min("pos").cast("long").alias("first_dup_pos"),
+        )
+    )

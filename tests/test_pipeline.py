@@ -303,3 +303,33 @@ def test_ivf_probe_assignment_is_distributed():
 
     src = inspect.getsource(similarity.ivf_topk) + inspect.getsource(similarity._probe_lists)
     assert ".collect()" not in src
+
+
+def test_substring_dup_spans_planted(spark):
+    """Planted shared substrings are found with exact positions; unique
+    text yields nothing."""
+    from cpp_parquet_spark.pipeline.dedup import substring_dup_spans
+
+    shared = "x" * 40 + "THE-SHARED-BOILERPLATE-SEGMENT-" * 4  # >64 chars
+    rows = [
+        (1, "unique prefix one " * 20 + shared),
+        (2, shared + " unique suffix two " * 20),
+        (3, "totally different text with no repeats " * 10),
+        (4, "short"),  # below span length: skipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_dup_spans"], r["first_dup_pos"]) for r in substring_dup_spans(df).collect()}
+    assert set(got) == {1, 2}  # docs 3 (unique) and 4 (short) absent
+    assert all(n >= 1 for n, _ in got.values())
+    # doc 2 starts with the shared text: its first duplicated span is at 0
+    assert got[2][1] == 0
+
+
+def test_substring_dup_spans_no_python_in_plan(spark):
+    """The op must stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    in the physical plan."""
+    from cpp_parquet_spark.pipeline.dedup import substring_dup_spans
+
+    df = spark.createDataFrame([(1, "a" * 100)], "doc_id long, text string")
+    plan = substring_dup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
