@@ -44,6 +44,27 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if n == 0 or width == 0:
         return b""
+    if width <= 8:
+        # sub-byte widths: work from a uint8 view — the u64 path below
+        # materializes 64 bits per value (a 4-bit hex column expanded
+        # 16x its size in temporaries, measured 4 MB/s on the alpha
+        # codec); widths 1/2/4/8 pack with pure byte arithmetic
+        s = np.ascontiguousarray(values, dtype=np.uint8)
+        if width == 8:
+            return s.tobytes()
+        if width == 4:
+            if n % 2:
+                s = np.append(s, np.uint8(0))
+            return (s[0::2] | (s[1::2] << 4)).tobytes()
+        if width == 2:
+            pad = (-n) % 4
+            if pad:
+                s = np.append(s, np.zeros(pad, np.uint8))
+            return (s[0::4] | (s[1::4] << 2) | (s[2::4] << 4) | (s[3::4] << 6)).tobytes()
+        if width == 1:
+            return np.packbits(s.astype(bool), bitorder="little").tobytes()
+        bits = np.unpackbits(s.reshape(-1, 1), axis=1, bitorder="little")[:, :width]
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
     v = np.ascontiguousarray(values, dtype="<u8")
     out_parts = []
     for off in range(0, n, _BLOCK):
@@ -63,6 +84,24 @@ def unpack_bits(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if width == 8:
+        return raw[:n].astype(np.uint64)
+    if width == 4:
+        b = raw[: (n + 1) // 2]
+        out4 = np.empty(2 * len(b), dtype=np.uint8)
+        out4[0::2] = b & 0x0F
+        out4[1::2] = b >> 4
+        return out4[:n].astype(np.uint64)
+    if width == 2:
+        b = raw[: (n + 3) // 4]
+        out2 = np.empty(4 * len(b), dtype=np.uint8)
+        out2[0::4] = b & 0x03
+        out2[1::4] = (b >> 2) & 0x03
+        out2[2::4] = (b >> 4) & 0x03
+        out2[3::4] = b >> 6
+        return out2[:n].astype(np.uint64)
+    if width == 1:
+        return np.unpackbits(raw, count=n, bitorder="little").astype(np.uint64)
     out = np.empty(n, dtype="<u8")
     out_u8 = out.view(np.uint8).reshape(n, 8)
     for off in range(0, n, _BLOCK):
