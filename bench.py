@@ -753,10 +753,14 @@ def main() -> None:
     # headline = agreed min over warm no-write passes; keep sampling
     # until two passes agree within 15%, max 8 passes — the same
     # reproducible-by-construction estimator as the scaling section
-    def _gated_samples(fn, max_n: int) -> list[float]:
+    headline_discards = {"count": 0, "stormy_fallbacks": []}
+
+    def _gated_samples(name: str, fn, max_n: int) -> list[float]:
         """Sample until agreement, discarding steal-stormy windows (same
         gate as the scaling sections); tainted samples only count as a
-        fallback if nothing clean arrives."""
+        fallback if nothing clean arrives — and the fallback is marked
+        in the artifact so a storm-era headline is never mistaken for a
+        clean measurement."""
         clean: list[float] = []
         stormy: list[float] = []
         for _ in range(max_n):
@@ -765,24 +769,29 @@ def main() -> None:
             g1, gj1 = _steal_frac()
             if (g1 - g0) / max(gj1 - gj0, 1) > _STEAL_GATE:
                 stormy.append(v)
+                headline_discards["count"] += 1
                 print(f"[bench] headline sample {v:.2f}s DISCARDED (steal)", file=sys.stderr, flush=True)
                 continue
             clean.append(v)
             if len(clean) >= 2 and _agreed_min(clean) is not None:
                 break
+        if not clean:
+            headline_discards["stormy_fallbacks"].append(name)
         return clean or stormy
 
-    enc_samples = _gated_samples(lambda: run_encode(spark, input_path, codec_hints=hints)[0], 8)
+    enc_samples = _gated_samples("encode", lambda: run_encode(spark, input_path, codec_hints=hints)[0], 8)
     t_encode = _agreed_min(enc_samples) or min(enc_samples + [t_cold])
     queries["encode_pipeline"] = round(t_encode, 3)
     # WARM with-write passes, same estimator, so the write-side
     # overhead is apples-to-apples against the warm encode figure
     wr_samples = _gated_samples(
-        lambda: run_encode(spark, input_path, chunks_out=chunks_path, codec_hints=hints)[0], 6
+        "encode_with_write",
+        lambda: run_encode(spark, input_path, chunks_out=chunks_path, codec_hints=hints)[0],
+        6,
     )
     t_write = _agreed_min(wr_samples) or min(wr_samples)
     queries["encode_with_write"] = round(t_write, 3)
-    dec_samples = _gated_samples(lambda: run_decode(spark, chunks_path), 8)
+    dec_samples = _gated_samples("decode", lambda: run_decode(spark, chunks_path), 8)
     t_decode = _agreed_min(dec_samples) or min(dec_samples)
     queries["decode_pipeline"] = round(t_decode, 3)
     headline_samples = {
@@ -854,6 +863,7 @@ def main() -> None:
             "bytes_per_row": round(totals["encoded_bytes"] / max(totals["rows"], 1), 2),
         },
         "headline_samples": headline_samples,
+        "headline_discards": headline_discards,
         "store_write": store_write,
         "scaling_executors": scaling_executors,
         "scaling": scaling,
