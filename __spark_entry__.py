@@ -387,32 +387,45 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al.) — scalar summary view;
-    no SQL oracle (DuckDB lacks xxhash64), driver records rows-only."""
-    from cpp_parquet_spark.pipeline.dedup import winnow_fingerprints
+    """Winnowing fingerprints (Schleimer et al.), exact DuckDB oracle:
+    the md5-based 60-bit hash (md5_hash60) is computable bit-identically
+    by both engines, so the oracle replays the whole pipeline — tokens,
+    k-gram hashes, rolling-window minima, distinct — with list lambdas.
+    xxhash64 remains the production default hash (pytest-covered)."""
+    from cpp_parquet_spark.pipeline.dedup import md5_hash60, winnow_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = winnow_fingerprints(docs)
+    fp = winnow_fingerprints(docs, hash_fn=md5_hash60)
     return fp.select(
         "id",
         F.size("fingerprints").cast("long").alias("n_fps"),
         F.array_min("fingerprints").alias("min_fp"),
         F.array_max("fingerprints").alias("max_fp"),
+        F.aggregate("fingerprints", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)).alias("xor_fp"),
     )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features over opaque media payloads, exact DuckDB
+    oracle: on ASCII-guarded payloads (length == octet_length, same
+    trick as multimodal_frames) a 16-bin upper-nibble histogram bin is
+    a regex byte-class count, and count/total is the same correctly-
+    rounded IEEE-754 division in numpy and DuckDB — bit-identical
+    doubles, no rounding games."""
     from cpp_parquet_spark.pipeline.multimodal import extract_features, synthetic_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") == F.octet_length("text")
+    )
     media = synthetic_media(docs)
     feats = extract_features(media, mode="fake")
     return feats.select(
         "media_id",
         "media_type",
         "n_bytes",
-        F.round(F.element_at("features", 1), 4).alias("f1"),
-        F.round(F.element_at("features", 8), 4).alias("f8"),
+        F.element_at("features", 1).alias("f1"),
+        F.element_at("features", 3).alias("f3"),
+        F.element_at("features", 8).alias("f8"),
     )
 
 
@@ -949,5 +962,60 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(CAST(list_dot_product(b.iv, b.iv) AS DOUBLE))), 6) AS cosine
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             ) WHERE cosine >= 0.9
+        """,
+        # Winnowing replayed exactly in SQL: same tokens, same md5-based
+        # 60-bit k-gram hash (CAST('0x'||hex AS BIGINT) == Spark's
+        # conv(substring(md5(s),1,15),16,10)), same rolling-window minima.
+        "winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(lower(text), '[A-Za-z0-9_]+', 0) AS toks
+              FROM documents
+            ),
+            kh AS (
+              SELECT id,
+                     list_transform(
+                       range(1, greatest(len(toks) - 4, 1) + 1),
+                       i -> CAST(('0x' || substring(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15)) AS BIGINT)
+                     ) AS kh
+              FROM t
+            ),
+            wins AS (
+              SELECT id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(kh) - 3, 1) + 1),
+                       i -> list_min(list_slice(kh, i, i + 3))
+                     )) AS fps
+              FROM kh
+            )
+            SELECT id,
+                   CAST(len(fps) AS BIGINT) AS n_fps,
+                   list_min(fps) AS min_fp,
+                   list_max(fps) AS max_fp,
+                   list_reduce(fps, (a, x) -> xor(a, x)) AS xor_fp
+            FROM wins
+        """,
+        # ASCII guard => one histogram bin is a regex byte-class count;
+        # count/total is the identical IEEE double division in numpy.
+        "multimodal_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                          WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                          ELSE 'video/mp4' END AS media_type,
+                     text,
+                     strlen(text) AS nb
+              FROM documents
+              WHERE length(text) = strlen(text)
+            )
+            SELECT media_id, media_type,
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(nb - strlen(regexp_replace(text, '[\\x00-\\x0f]', '', 'g')) AS DOUBLE)
+                     / greatest(nb, 1) AS f1,
+                   CAST(nb - strlen(regexp_replace(text, '[\\x20-\\x2f]', '', 'g')) AS DOUBLE)
+                     / greatest(nb, 1) AS f3,
+                   CAST(nb - strlen(regexp_replace(text, '[\\x70-\\x7f]', '', 'g')) AS DOUBLE)
+                     / greatest(nb, 1) AS f8
+            FROM m
         """,
     }

@@ -283,13 +283,33 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", i
     )
 
 
-def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, window: int = 4) -> DataFrame:
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from the leading 15 hex chars of md5 —
+    engine-portable (DuckDB: CAST('0x'||substring(md5(s),1,15) AS
+    BIGINT) computes the identical value), used by the oracle twin of
+    the winnowing query; xxhash64 stays the production default."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    hash_fn=None,
+) -> DataFrame:
     """Winnowing document fingerprints: min rolling k-gram hash per
-    window (Schleimer et al.) — JVM-side over token-hash arrays."""
+    window (Schleimer et al.) — JVM-side over token-hash arrays.
+
+    ``hash_fn`` (Column -> Column) defaults to xxhash64; pass
+    :func:`md5_hash60` for a cross-engine-checkable variant."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = _tokens(F.col(text_col))
     kh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, k))),
     )
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(kh) - (window - 1), F.lit(1))),

@@ -86,7 +86,10 @@ def _fake_features_batch(lengths, payload):
         .astype(np.float64)
     )
     tot = hist.sum(axis=1, keepdims=True)
-    return (hist / np.maximum(tot, 1.0)).round(6)  # empty payload -> zeros
+    # exact IEEE count/total division (no rounding): on ASCII payloads
+    # the same division is reproducible bit-identically by any engine
+    # (the DuckDB oracle recomputes it from regex byte-class counts)
+    return hist / np.maximum(tot, 1.0)  # empty payload -> zeros
 
 
 def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:

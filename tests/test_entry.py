@@ -7,13 +7,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(entrymod.queries().keys())
     o = set(entrymod.oracle_sql().keys())
     assert o <= q, f"oracle entries without queries: {o - q}"
-    # the non-oracled ones are the genuinely non-SQL-expressible ops
-    # (engine metadata, xxhash64-based fingerprints, media stubs)
-    assert q - o <= {
-        "codec_selection",
-        "winnow_fingerprints",
-        "multimodal_features",
-    }
+    # every query is oracled: winnow uses the md5-based hash twin and
+    # multimodal_features the ASCII byte-class-count twin
+    assert q == o, f"queries without oracle SQL: {q - o}"
 
 
 def test_entry_runs_and_reports(spark):
@@ -34,3 +30,42 @@ def test_all_queries_return_rows(spark, sf_small):
         n = df.count()
         assert n >= 0, name
         assert len(df.columns) >= 2, name
+
+
+def _duckdb_con(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _compare_with_oracle(spark, sf_dir, name):
+    """Mimic the driver's compare: sorted rows over name-sorted columns
+    must be value-identical between the Spark query and its DuckDB
+    oracle SQL."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    scols = sorted(df.columns)
+    srows = sorted((tuple(r[c] for c in scols) for r in df.collect()), key=repr)
+    con = _duckdb_con(sf_dir)  # keep alive: rel evaluates lazily
+    rel = con.sql(entrymod.oracle_sql()[name])
+    idx = [rel.columns.index(c) for c in sorted(rel.columns)]
+    orows = sorted((tuple(r[i] for i in idx) for r in rel.fetchall()), key=repr)
+    assert sorted(rel.columns) == scols, name
+    assert srows == orows, f"{name}: first diff {next((a, b) for a, b in zip(srows, orows) if a != b)}"
+
+
+def test_winnow_oracle_twin_exact(spark, sf_small):
+    """The md5-hash60 winnowing twin is bit-identical in DuckDB —
+    n/min/max/xor over the fingerprint set (round-5: last rows-only
+    query oracled)."""
+    _compare_with_oracle(spark, sf_small, "winnow_fingerprints")
+
+
+def test_multimodal_features_oracle_twin_exact(spark, sf_small):
+    """ASCII-guarded byte-histogram features reproduce exactly as
+    DuckDB regex byte-class counts over the same IEEE division."""
+    _compare_with_oracle(spark, sf_small, "multimodal_features")
