@@ -339,28 +339,29 @@ def substring_dup_spans(
     passage sits in each document — a fixed stride only matches copies
     aligned mod stride (the winnowing/CDC insight).
 
-    Entirely JVM-side (sequence → explode → filter → substring → md5):
-    no Python in the data path.  The position explode is map-side and
-    collapses immediately at the word-boundary filter; only
-    (id, pos, 16-byte hash) rows — one per word — reach the two
-    blocking-key shuffles (span-hash groupBy, per-doc rollup).  Never
-    all-pairs.
+    Entirely JVM-side (filtered sequence → explode → substring → md5):
+    no Python in the data path.  The word-boundary filter runs INSIDE
+    the array expression, before Generate — the explode emits one row
+    per word start (~len/6), never one per character; only
+    (id, pos, 16-byte hash) rows reach the two blocking-key shuffles
+    (span-hash groupBy, per-doc rollup).  Never all-pairs.
 
     Returns (id, n_dup_spans, first_dup_pos) for documents owning at
     least one cross-document duplicated span.
     """
+    # word boundary: document start, or the char before the span is a
+    # space (substring is 1-based: position `pos` = 0-based pos-1)
+    word_starts = F.expr(
+        f"filter(sequence(0, length({text_col}) - {span_len}), "
+        f"p -> p = 0 OR substring({text_col}, p, 1) = ' ')"
+    )
     spans = (
         df.filter(F.length(text_col) >= span_len)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.sequence(F.lit(0), F.length(text_col) - span_len, F.lit(1))
-            ).alias("pos"),
+            F.explode(word_starts).alias("pos"),
             F.col(text_col),
         )
-        # word boundary: document start, or the char before the span is
-        # a space (substring is 1-based: position `pos` = 0-based pos-1)
-        .filter((F.col("pos") == 0) | (F.expr(f"substring({text_col}, pos, 1)") == " "))
         .select(
             "id",
             "pos",

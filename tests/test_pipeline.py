@@ -333,3 +333,31 @@ def test_substring_dup_spans_no_python_in_plan(spark):
     df = spark.createDataFrame([(1, "a" * 100)], "doc_id long, text string")
     plan = substring_dup_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_substring_dup_spans_generate_emits_word_starts_only(spark):
+    """Round-5 scale fix: the word-boundary filter runs INSIDE the
+    array expression, so Generate explodes ~one row per word, not one
+    per character.  For 'word ' * 200 (len 1000, span 64): 188 word
+    starts vs 937 per-char positions — a 5x Generate-output cut that
+    at 100 TB is the difference between ~2e13 and ~1e14 generated rows."""
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.pipeline.dedup import substring_dup_spans
+
+    df = spark.createDataFrame([(1, "word " * 200)], "doc_id long, text string")
+    plan = substring_dup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    # the Generate input is the filtered sequence; no per-char explode
+    # followed by a row-level Filter on substring(text, pos, 1)
+    assert "filter(sequence" in plan, plan
+    # and the filtered array really is word-count-sized
+    n = df.select(
+        F.size(
+            F.expr(
+                "filter(sequence(0, length(text) - 64),"
+                " p -> p = 0 OR substring(text, p, 1) = ' ')"
+            )
+        ).alias("n")
+    ).collect()[0]["n"]
+    n_chars = 1000 - 64 + 1
+    assert n < n_chars / 4, (n, n_chars)
