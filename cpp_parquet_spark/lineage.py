@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 
 from cpp_parquet_spark.engine import DEFAULT_CHUNK_ROWS, decode_dataframe, encode_dataframe
 
+class ConcurrentCommitError(RuntimeError):
+    """Raised when the snapshot-commit CAS loses to a concurrent writer
+    (two EncodeJobs racing on the same base_dir + snapshot_id)."""
+
+
 LINEAGE_COLUMNS = [
     "snapshot_id",
     "part_id",
@@ -105,6 +110,11 @@ class EncodeJob:
         for name in os.listdir(self.base_dir) if os.path.isdir(self.base_dir) else []:
             if name.startswith("staging-"):
                 shutil.rmtree(os.path.join(self.base_dir, name))
+            elif name.startswith(".commit-") and name.endswith(".tmp"):
+                # commit temp left by a crash mid-write: the real commit
+                # file only ever appears atomically (os.link), so a
+                # leftover tmp is garbage, never a half-commit
+                os.unlink(os.path.join(self.base_dir, name))
         if not os.path.isdir(self.chunks_dir):
             return dropped
         for name in os.listdir(self.chunks_dir):
@@ -204,6 +214,26 @@ class EncodeJob:
         lineage_schema = new_lineage.schema
         timings["lineage_derive_sec"] = round(time.time() - t0, 3)
 
+        # pre-publish recheck (optimistic concurrency, phase 1): re-read
+        # the catalog — if a concurrent writer committed any of our
+        # staged partitions while we were encoding, abort BEFORE
+        # touching the chunk store so the winner's data dirs are never
+        # clobbered.  The same-attempt CAS below closes the remaining
+        # window where both writers pass this check.
+        latest_committed = self.completed_parts(spark)
+        overlap = sorted(
+            pid
+            for pid in (int(n.split("=", 1)[1]) for n in staged_parts)
+            if pid in latest_committed and pid not in completed
+        )
+        if overlap:
+            shutil.rmtree(staging)
+            raise ConcurrentCommitError(
+                f"partitions {overlap} were committed by a concurrent "
+                f"writer while this attempt was encoding; re-run to "
+                "resume from the winner's lineage"
+            )
+
         # publish: move staged part dirs into the chunk store, then
         # commit lineage; a crash in between leaves orphans that
         # _clean_orphans drops on the next resume
@@ -233,10 +263,30 @@ class EncodeJob:
                 [r.asDict() for r in lineage_rows], schema=to_arrow_schema(lineage_schema)
             )
             os.makedirs(self.lineage_dir, exist_ok=True)
-            pq.write_table(
-                tbl,
-                os.path.join(self.lineage_dir, f"commit-{self.snapshot_id}-a{attempt}.parquet"),
+            # atomic + optimistic-concurrency commit (Iceberg snapshot
+            # CAS): write the full file to a temp path on the same
+            # filesystem, then os.link() it into place — link fails with
+            # FileExistsError if another writer committed this
+            # (snapshot, attempt) first, so the loser of a race raises
+            # instead of silently clobbering, and a crash mid-write can
+            # never leave a truncated commit file in lineage_dir.
+            tmp = os.path.join(
+                self.base_dir, f".commit-{self.snapshot_id}-a{attempt}.tmp"
             )
+            dst = os.path.join(
+                self.lineage_dir, f"commit-{self.snapshot_id}-a{attempt}.parquet"
+            )
+            pq.write_table(tbl, tmp)
+            try:
+                os.link(tmp, dst)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"snapshot {self.snapshot_id!r} attempt {attempt} was "
+                    f"committed by a concurrent writer ({dst} exists); "
+                    "re-run to resume from the winner's lineage"
+                ) from None
+            finally:
+                os.unlink(tmp)
         timings["lineage_commit_sec"] = round(time.time() - t0, 3)
         return {
             "committed_partitions": len(lineage_rows),

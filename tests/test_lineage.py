@@ -106,3 +106,90 @@ def test_lineage_schema(spark, workdir):
     assert all(r["status"] == "committed" for r in rows)
     assert sum(r["record_count"] for r in rows) == src.count()
     assert all(r["encoded_bytes"] > 0 for r in rows)
+
+
+def test_commit_is_atomic_and_tmp_cleaned(spark, workdir):
+    """ADVICE r4: the lineage commit file must appear atomically — no
+    pq.write_table directly into lineage_dir.  A stale commit tmp from
+    a crashed attempt is dropped on resume and never poisons reads."""
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=4)
+    job.run(src)
+    # no tmp leftovers after a clean commit
+    assert not [n for n in os.listdir(workdir) if n.endswith(".tmp")]
+    # plant a crash leftover: truncated tmp in base_dir
+    with open(os.path.join(workdir, ".commit-snap-0-a9.tmp"), "wb") as fh:
+        fh.write(b"half a parquet file")
+    r = job.run(src)  # resume: no-op, but cleans the tmp
+    assert r["committed_partitions"] == 0
+    assert not [n for n in os.listdir(workdir) if n.endswith(".tmp")]
+    assert job.lineage(spark).count() > 0  # lineage dir fully readable
+
+
+def test_concurrent_commit_loser_raises(spark, workdir):
+    """VERDICT r4 #7: snapshot-commit CAS — two jobs racing on the same
+    (base_dir, snapshot_id) cannot silently clobber; the loser raises
+    ConcurrentCommitError and the winner's lineage stays intact."""
+    from cpp_parquet_spark.lineage import ConcurrentCommitError
+
+    src = _src(spark)
+    winner = EncodeJob(workdir, num_parts=4)
+    winner.run(src)
+    lineage_before = sorted(os.listdir(winner.lineage_dir))
+
+    class RacingJob(EncodeJob):
+        # simulate the race window: the loser read the catalog BEFORE
+        # the winner committed, so it sees no lineage and recomputes
+        # the same attempt number
+        def lineage(self, spark):
+            return None
+
+    loser = RacingJob(workdir, num_parts=4)
+    with pytest.raises(ConcurrentCommitError):
+        loser.run(src)
+    assert sorted(os.listdir(winner.lineage_dir)) == lineage_before
+    # and the winner's records still read back clean
+    assert winner.lineage(spark).filter(F.col("status") == "committed").count() == 4
+
+
+def test_concurrent_commit_detected_before_publish(spark, workdir):
+    """Phase-1 concurrency check: if the winner commits while the loser
+    is encoding, the loser aborts BEFORE renaming anything into the
+    chunk store — the winner's data dirs are untouched."""
+    from cpp_parquet_spark.lineage import ConcurrentCommitError, EncodeJob
+
+    src = _src(spark)
+    winner = EncodeJob(workdir, num_parts=4)
+    winner.run(src)
+    store_mtimes = {
+        n: os.path.getmtime(os.path.join(winner.chunks_dir, n))
+        for n in os.listdir(winner.chunks_dir)
+    }
+
+    class LateLoser(EncodeJob):
+        # real-race timeline: when the loser scanned, the winner had
+        # neither published nor committed (empty catalog, empty store —
+        # so no orphan cleaning either); the winner finished while the
+        # loser was encoding, so only the pre-publish recheck sees it
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._calls = 0
+
+        def lineage(self, spark):
+            self._calls += 1
+            if self._calls <= 2:  # initial completed_parts + attempt calc
+                return None
+            return super().lineage(spark)
+
+        def _clean_orphans(self, completed):
+            return []
+
+    loser = LateLoser(workdir, num_parts=4)
+    with pytest.raises(ConcurrentCommitError):
+        loser.run(src)
+    after = {
+        n: os.path.getmtime(os.path.join(winner.chunks_dir, n))
+        for n in os.listdir(winner.chunks_dir)
+    }
+    assert after == store_mtimes  # no staged dir was published
+    assert not [n for n in os.listdir(workdir) if n.startswith("staging-")]
