@@ -457,6 +457,7 @@ def exec_scale_worker() -> None:
     min_rounds, max_rounds, budget_sec = 2, 5, 1500.0
     t_start = time.time()
     rounds_run = 0
+    band_resamples: list[float] = []
     with StandaloneCluster(workers=hi, work_dir=f"{WORK}/standalone", port=7177) as cl:
         for r in range(max_rounds):
             levels = [
@@ -537,6 +538,12 @@ def exec_scale_worker() -> None:
                 # the steal gate.  Every sample stays in the artifact.
                 if 0.85 <= eff <= 1.02:
                     break
+                # provenance (ADVICE r4): the resample is triggered by a
+                # result outside the clean band — an optional-stopping
+                # rule.  Record every trigger and its value so the
+                # final figure's sampling history is auditable in the
+                # artifact (all discarded-nothing: every sample stays).
+                band_resamples.append(round(eff, 3))
                 print(
                     f"[bench] exec eff {eff:.3f} outside clean band — resampling",
                     file=sys.stderr,
@@ -566,6 +573,7 @@ def exec_scale_worker() -> None:
                 "raw_efficiency": round(raw_eff, 3),
                 "valid": valid,
                 "rounds": rounds_run,
+                "band_resamples": band_resamples,
                 "samples_n": times[lo],
                 "samples_4n": times[hi],
                 "mode": "real standalone cluster (Master + one-core Worker JVMs), partition-local map-only encode stage over pre-balanced equal-row files (one task per file), package via spark.submit.pyFiles",
@@ -760,7 +768,16 @@ def main() -> None:
         gate as the scaling sections); tainted samples only count as a
         fallback if nothing clean arrives — and the fallback is marked
         in the artifact so a storm-era headline is never mistaken for a
-        clean measurement."""
+        clean measurement.
+
+        Minimum-clean-sample rule (r4 fix): require >= 3 clean samples
+        before accepting agreement.  r4's encode headline stopped at 2
+        agreeing-but-uniformly-inflated samples (3.208 s no-write vs
+        1.908 s WITH write — impossible on clean windows) because
+        sub-gate degradation can inflate consecutive passes without
+        tripping the steal gate; a third time-separated sample gives
+        the min a chance to land in a clean window.  The stopping rule
+        stays result-independent: count + agreement only."""
         clean: list[float] = []
         stormy: list[float] = []
         for _ in range(max_n):
@@ -773,13 +790,13 @@ def main() -> None:
                 print(f"[bench] headline sample {v:.2f}s DISCARDED (steal)", file=sys.stderr, flush=True)
                 continue
             clean.append(v)
-            if len(clean) >= 2 and _agreed_min(clean) is not None:
+            if len(clean) >= 3 and _agreed_min(clean) is not None:
                 break
         if not clean:
             headline_discards["stormy_fallbacks"].append(name)
         return clean or stormy
 
-    enc_samples = _gated_samples("encode", lambda: run_encode(spark, input_path, codec_hints=hints)[0], 8)
+    enc_samples = _gated_samples("encode", lambda: run_encode(spark, input_path, codec_hints=hints)[0], 10)
     t_encode = _agreed_min(enc_samples) or min(enc_samples + [t_cold])
     queries["encode_pipeline"] = round(t_encode, 3)
     # WARM with-write passes, same estimator, so the write-side
@@ -787,10 +804,25 @@ def main() -> None:
     wr_samples = _gated_samples(
         "encode_with_write",
         lambda: run_encode(spark, input_path, chunks_out=chunks_path, codec_hints=hints)[0],
-        6,
+        8,
     )
     t_write = _agreed_min(wr_samples) or min(wr_samples)
     queries["encode_with_write"] = round(t_write, 3)
+    # superset-consistency clamp: a with-write pass runs the ENTIRE
+    # no-write encode plus the store write, so its time upper-bounds
+    # the encode time — if the encode estimate still came out higher
+    # (both its windows degraded), the with-write min is the tighter
+    # honest bound.  Recorded in the artifact when applied.
+    headline_clamped = t_encode > t_write
+    if headline_clamped:
+        print(
+            f"[bench] encode headline {t_encode:.3f}s > with-write {t_write:.3f}s — "
+            "clamped to the with-write superset bound",
+            file=sys.stderr,
+            flush=True,
+        )
+        t_encode = t_write
+        queries["encode_pipeline"] = round(t_encode, 3)
     dec_samples = _gated_samples("decode", lambda: run_decode(spark, chunks_path), 8)
     t_decode = _agreed_min(dec_samples) or min(dec_samples)
     queries["decode_pipeline"] = round(t_decode, 3)
@@ -801,6 +833,7 @@ def main() -> None:
         "encode": [round(t, 3) for t in enc_samples],
         "encode_with_write_samples": [round(t, 3) for t in wr_samples],
         "decode": [round(t, 3) for t in dec_samples],
+        "encode_clamped_to_with_write": headline_clamped,
     }
 
     # driver-visible roundtrip queries (sf-dir inputs)

@@ -128,8 +128,10 @@ def _encode_table(
                 # (selector.py:126) at chunk level: a memoized/hinted
                 # fsst must not capture a content-sized chunk that
                 # per-chunk selection would have cap-gated — fsst
-                # encodes at ~5-10 MB/s/core and the size-based drift
-                # guard cannot catch a slow-but-compressing codec
+                # encodes at ~12 MB/s/core (r5 measured, blocked
+                # replay; gated by test_fsst_encode_throughput_gate)
+                # and the size-based drift guard cannot catch a
+                # slow-but-compressing codec
                 codec = select_codec(sh.values, plan.physical, mode=codec_mode)
                 memo[plan.dotted] = codec
         else:
@@ -429,8 +431,13 @@ def prune_chunks(
     — NULL satisfies no range predicate.  For leaf columns under
     lists, the semantics are "some element in range".
 
-    NULL-stat semantics: an all-null/empty chunk has *both* keys NULL;
-    a chunk whose max is not expressible as a truncated key (first 64
+    NULL-stat semantics: all-null/empty is detected by ``num_values ==
+    0`` (the defined-value count recorded at encode time), NOT by NULL
+    stat keys — a chunk with live values whose stats computation failed
+    (chunk_stats returns (None, None) on e.g. ArrowNotImplementedError)
+    has ``stat_min`` NULL but ``num_values > 0`` and is always KEPT
+    (ADVICE r4: treating it as all-null silently dropped live rows).  A
+    chunk whose max is not expressible as a truncated key (first 64
     bytes all 0xFF, stats._bytes_key) has ``stat_min`` set but
     ``stat_max`` NULL, meaning "unbounded above" — such a chunk is
     always KEPT under a lower-bound predicate.  An unorderable bound
@@ -447,16 +454,17 @@ def prune_chunks(
     dtype = plans[column].arrow_type
     if lower is None and upper is None:
         return chunks
-    # stat_min is non-NULL for every chunk with live values of an
-    # orderable type (a round-down bytes key always exists), so this
-    # single conjunct prunes all-null/empty chunks for any bound.
-    pred = (F.col("column") == column) & F.col("stat_min").isNotNull()
+    # all-null/empty chunks (num_values == 0) satisfy no range
+    # predicate; chunks with live values but NULL stat keys (stats
+    # computation unavailable) must survive every range condition.
+    pred = (F.col("column") == column) & (F.col("num_values") > 0)
+    range_ok = F.lit(True)
     if lower is not None:
         lo_key = order_key(lower, dtype, round_up=False)
         if lo_key is None:
             raise ValueError(f"no order-preserving key for lower bound {lower!r} of dtype {dtype}")
         # stat_max NULL with stat_min set = "unbounded above": keep.
-        pred = pred & ((F.col("stat_max") >= F.lit(lo_key)) | F.col("stat_max").isNull())
+        range_ok = range_ok & ((F.col("stat_max") >= F.lit(lo_key)) | F.col("stat_max").isNull())
     if upper is not None:
         hi_key = order_key(upper, dtype, round_up=True)
         if hi_key is None:
@@ -465,7 +473,8 @@ def prune_chunks(
             # upper rounds up past every expressible key (0xFF-prefixed
             # var-length bound): the upper conjunct is vacuously true.
         else:
-            pred = pred & (F.col("stat_min") <= F.lit(hi_key))
+            range_ok = range_ok & (F.col("stat_min") <= F.lit(hi_key))
+    pred = pred & (F.col("stat_min").isNull() | range_ok)
     surviving = chunks.filter(pred).select("part_id", "chunk_id")
     return chunks.join(F.broadcast(surviving), ["part_id", "chunk_id"], "leftsemi")
 

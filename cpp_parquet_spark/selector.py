@@ -117,11 +117,15 @@ def shortlist(stats: ColumnStats, physical: str) -> list[str]:
         # redundancy worth FSST: mid/low entropy, not already dict-able.
         # FSST is a *short-string* codec (paths, identifiers, code-ish
         # rows): its encode replays merge rounds over every token,
-        # O(rounds × payload) with heavy constants (~5-10 MB/s), so cap
-        # the estimated chunk payload — on a 154 MB document chunk it
-        # crawled at ~1 MB/s (163 s) while lined does >100 MB/s at a
-        # similar ratio (r2 fix).  Within the cap the worst case is a
-        # few seconds per chunk, which the ratio win pays for.
+        # O(rounds × payload) with heavy constants — ~12 MB/s/core
+        # clean-window measured in r5 (sentinel-aligned blocked replay,
+        # perf-gated by test_fsst_encode_throughput_gate; the numpy op
+        # floor on this box, ~0.3 G elem/s cumsum, rules out going much
+        # higher).  So cap the estimated chunk payload — on a 154 MB
+        # document chunk the r1 code crawled at ~1 MB/s (163 s) while
+        # lined does >100 MB/s at a similar ratio (r2 fix).  Within the
+        # cap the worst case is ~3 s per chunk, which the ratio win
+        # pays for.
         payload_est = s.n * s.avg_len
         if 8 <= s.avg_len <= 4096 and payload_est <= 32e6 and not low_card and s.byte_entropy < 7.0:
             cands.append("fsst")

@@ -316,8 +316,9 @@ def test_presample_codecs_and_hinted_encode(spark, sf_small):
 
 def test_hinted_fsst_cap_gated_on_big_chunks():
     """A hinted/memoized fsst codec must not capture a chunk above the
-    selector's 32 MB payload cap (fsst encodes ~5-10 MB/s/core; the
-    size-based drift guard can't catch slow-but-compressing codecs)."""
+    selector's 32 MB payload cap (fsst encodes ~12 MB/s/core, r5
+    measured; the size-based drift guard can't catch
+    slow-but-compressing codecs)."""
     import numpy as np
 
     from cpp_parquet_spark.engine import _encode_table
@@ -333,3 +334,31 @@ def test_hinted_fsst_cap_gated_on_big_chunks():
     used = batch.column(batch.schema.get_field_index("codec"))[0].as_py()
     assert used != "fsst", used
     assert memo["content"] == used  # memo updated to the reselected codec
+
+
+def test_prune_chunks_keeps_stats_failed_chunks(spark):
+    """ADVICE r4: a chunk with live values whose stats computation
+    failed (stat_min AND stat_max NULL, num_values > 0) must survive
+    pruning — only genuinely all-null/empty chunks (num_values == 0)
+    may be dropped on NULL stats."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe, prune_chunks
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=512)
+    # simulate Arrow min_max unavailability: null out every stat key
+    # while the data stays live
+    broken = chunks.withColumn(
+        "stat_min", F.lit(None).cast("binary")
+    ).withColumn("stat_max", F.lit(None).cast("binary"))
+    pruned = prune_chunks(broken, df.schema, "k", lower=100, upper=200)
+    # nothing can be proven out of range -> every chunk kept
+    assert pruned.select("part_id", "chunk_id").distinct().count() == \
+        chunks.select("part_id", "chunk_id").distinct().count()
+    # and the decoded answer is still exact
+    got = (
+        decode_dataframe(pruned, df.schema)
+        .filter((F.col("k") >= 100) & (F.col("k") <= 200))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (101, sum(2 * k for k in range(100, 201)))
