@@ -517,7 +517,7 @@ def _q_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated.  The pruned payloads never reach a Python worker — the
     engine-side analogue of the Parquet row-group statistics our writer
     emits (parquet_writer._statistics)."""
-    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe, prune_chunks
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
 
     lo, hi = 2000, 9000
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -525,8 +525,9 @@ def _q_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arranged = orders.repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey")
     chunks = encode_dataframe(arranged, codec="auto", chunk_rows=2048)
-    pruned = prune_chunks(chunks, arranged.schema, "o_orderkey", lower=lo, upper=hi)
-    decoded = decode_dataframe(pruned, arranged.schema)
+    # pruning on the DEFAULT decode surface (round-5): the predicate
+    # routes through prune_chunks inside decode_dataframe
+    decoded = decode_dataframe(chunks, arranged.schema, predicate=("o_orderkey", lo, hi))
     return (
         decoded.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
         .groupBy("o_orderstatus")

@@ -361,9 +361,26 @@ def _merge_columns(field: pa.Field, cols: list[pa.Array]) -> pa.Array:
     return pa.StructArray.from_arrays(children, fields=list(t), mask=mask)
 
 
-def decode_dataframe(chunks: DataFrame, schema: StructType) -> DataFrame:
-    """Inverse of :func:`encode_dataframe`: chunk rows → original table."""
+def decode_dataframe(
+    chunks: DataFrame,
+    schema: StructType,
+    predicate: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Inverse of :func:`encode_dataframe`: chunk rows → original table.
+
+    ``predicate=(column, lower, upper)`` (either bound may be None)
+    routes the scan through :func:`prune_chunks` first, so chunks whose
+    stats prove them out of range never leave the JVM — their payloads
+    are neither shuffled nor handed to a Python worker.  This is the
+    default pushdown surface for the SGC store (round-3 item #7 /
+    round-4 item #4): callers get pruning by passing the predicate they
+    would otherwise apply post-decode (pruning is conservative; still
+    apply the exact filter after decoding)."""
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    if predicate is not None:
+        col, lower, upper = predicate
+        chunks = prune_chunks(chunks, schema, col, lower=lower, upper=upper)
 
     arrow_schema = to_arrow_schema(schema)
     plans = plan_from_schema(arrow_schema)

@@ -301,5 +301,8 @@ class EncodeJob:
     def chunks(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.chunks_dir)
 
-    def decode(self, spark: SparkSession, schema) -> DataFrame:
-        return decode_dataframe(self.chunks(spark), schema)
+    def decode(self, spark: SparkSession, schema, predicate=None) -> DataFrame:
+        """Decode the committed store; ``predicate=(column, lo, hi)``
+        prunes chunks JVM-side before any payload reaches Python
+        (the store's predicate-pushdown surface)."""
+        return decode_dataframe(self.chunks(spark), schema, predicate=predicate)

@@ -362,3 +362,44 @@ def test_prune_chunks_keeps_stats_failed_chunks(spark):
         .collect()[0]
     )
     assert (got["n"], got["s"]) == (101, sum(2 * k for k in range(100, 201)))
+
+
+def test_decode_dataframe_predicate_prunes_before_python(spark):
+    """Round-5: pruning is the DEFAULT decode surface — a predicate on
+    decode_dataframe routes through prune_chunks, and the metadata
+    semi-join sits BELOW MapInArrow in the physical plan, so pruned
+    payloads never leave the JVM for a Python worker."""
+    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
+
+    df = (
+        spark.range(0, 40_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 13).cast("double").alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=2048)
+    chunks.cache()
+    decoded = decode_dataframe(chunks, df.schema, predicate=("k", 5_000, 6_000))
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    semi = plan.find("LeftSemi")
+    assert semi > plan.find("MapInArrow") > -1, plan  # semi-join below = pruned JVM-side
+    # exactness: pruned+exact filter == brute-force filter
+    got = (
+        decoded.filter((F.col("k") >= 5_000) & (F.col("k") <= 6_000))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (1001, sum(range(5_000, 6_001)))
+    # and the chunk set really shrank
+    n_all = chunks.select("part_id", "chunk_id").distinct().count()
+    from cpp_parquet_spark.engine import prune_chunks
+
+    n_pruned = (
+        prune_chunks(chunks, df.schema, "k", lower=5_000, upper=6_000)
+        .select("part_id", "chunk_id")
+        .distinct()
+        .count()
+    )
+    assert n_pruned < n_all / 3
+    chunks.unpersist()
