@@ -2,12 +2,14 @@
 
 Image/audio/video land as ``binary`` columns with metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched UDFs over
-``mapInPandas``.  The actual media decode is STUBBED (no image/audio
-libraries in this container — task brief): ``mode="real"`` raises
-NotImplementedError at the exact seam where PIL/ffmpeg would plug in,
-while ``mode="fake"`` computes a deterministic byte-level feature
-(16-bin byte histogram + length) so the Spark plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+``mapInArrow``.  Since round 5 ``mode="real"`` REALLY decodes the two
+simplest formats with stdlib only (media_codecs.py): PNG = zlib
+inflate + per-scanline unfilter, WAV = RIFF parse + np.frombuffer;
+features/resize then run over the decoded bytes.  Video (MP4) still
+raises NotImplementedError at the exact seam where ffmpeg would plug
+in (a demuxer + codec is not a stdlib exercise).  ``mode="fake"``
+keeps the deterministic byte-level feature (16-bin byte histogram)
+whose DuckDB oracle verifies the Spark plumbing end-to-end.
 """
 
 from __future__ import annotations
@@ -92,8 +94,46 @@ def _fake_features_batch(lengths, payload):
     return hist / np.maximum(tot, 1.0)  # empty payload -> zeros
 
 
+def _real_features_batch(b, lengths):
+    """Real-decode path (round-5): PNG via zlib + vectorized scanline
+    unfilter, WAV via RIFF parse + np.frombuffer (media_codecs.py,
+    stdlib only) — the 16-bin histogram runs over the DECODED bytes
+    (pixels / PCM samples), not the encoded payload.  Decode is
+    per-payload by nature (each file is its own compression stream);
+    video stays behind the ffmpeg seam."""
+    import numpy as np
+
+    from cpp_parquet_spark.pipeline.media_codecs import decode_png, decode_wav
+
+    n = b.num_rows
+    types = b.column("media_type").to_pylist()
+    payloads = b.column("payload").to_pylist()
+    feats = np.zeros((n, 16), dtype=np.float64)
+    for i in range(n):
+        mt = types[i]
+        if mt == "image/png":
+            arr = decode_png(payloads[i]).ravel()
+        elif mt == "audio/wav":
+            samples, _rate = decode_wav(payloads[i])
+            arr = np.ascontiguousarray(samples).reshape(-1).view(np.uint8)
+        else:
+            # MP4 demux + codec decode is not a stdlib exercise
+            raise NotImplementedError(
+                f"real decode for {mt} requires ffmpeg; use mode='fake'"
+            )
+        if len(arr):
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+            feats[i] = hist / hist.sum()
+    return feats
+
+
 def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
-    """Decode + featurize payloads via mapInArrow (zero-copy batches)."""
+    """Decode + featurize payloads via mapInArrow (zero-copy batches).
+
+    mode="fake" computes the deterministic byte-level feature on the
+    raw payload (oracle-checkable); mode="real" actually decodes
+    image/png and audio/wav payloads with the stdlib-only codecs in
+    media_codecs.py and featurizes the decoded bytes."""
     import pyarrow as pa
 
     arrow_out = pa.schema(
@@ -109,15 +149,12 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
         import numpy as np
 
         for b in batches:
-            if mode == "real":
-                # the seam where PIL / torchaudio / ffmpeg would decode;
-                # those libraries are not in this container
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; use mode='fake'"
-                )
             n = b.num_rows
             lengths, payload = _payload_components(b.column("payload"))
-            feats = _fake_features_batch(lengths, payload)
+            if mode == "real":
+                feats = _real_features_batch(b, lengths)
+            else:
+                feats = _fake_features_batch(lengths, payload)
             features = pa.ListArray.from_arrays(
                 pa.array(np.arange(n + 1, dtype=np.int32) * 16, pa.int32()),
                 pa.array(feats.ravel(), pa.float64()),
@@ -168,10 +205,32 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8, mode: str = 
         import numpy as np
 
         for b in batches:
-            if mode == "real":
-                raise NotImplementedError("real image decode requires PIL; use mode='fake'")
             n = b.num_rows
             if n == 0:
+                continue
+            if mode == "real":
+                # real path (round-5): decode each PNG (stdlib zlib +
+                # unfilter), grayscale by channel mean, nearest-neighbor
+                # resample — per-payload by nature
+                from cpp_parquet_spark.pipeline.media_codecs import decode_png
+
+                pix_rows = []
+                for data in b.column("payload").to_pylist():
+                    img = decode_png(data)
+                    gray = img.mean(axis=2).astype(np.uint8)
+                    h0, w0 = gray.shape
+                    si = (np.arange(out_h) * h0) // out_h
+                    sj = (np.arange(out_w) * w0) // out_w
+                    pix_rows.append(gray[si[:, None], sj[None, :]].tobytes())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column("media_id").cast(pa.int64()),
+                        pa.array(np.full(n, out_w, dtype=np.int32)),
+                        pa.array(np.full(n, out_h, dtype=np.int32)),
+                        pa.array(pix_rows, pa.binary()),
+                    ],
+                    schema=arrow_out,
+                )
                 continue
             lens, payload = _payload_components(b.column("payload"))
             starts = np.cumsum(lens) - lens

@@ -239,20 +239,80 @@ def test_multimodal_resize(spark):
     # deterministic
     out2 = resize_images(media, out_w=8, out_h=8).collect()
     assert sorted(map(repr, out)) == sorted(map(repr, out2))
-    # real mode stays gated at the PIL seam
+    # real mode decodes actual PNGs now; on text payloads it must fail
+    # loudly (bad signature), never return garbage
     with pytest.raises(Exception) as exc:
         resize_images(media, mode="real").collect()
-    assert "NotImplementedError" in str(exc.value) or "image decode" in str(exc.value)
+    assert "not a PNG" in str(exc.value) or "ValueError" in str(exc.value)
 
 
-def test_multimodal_real_mode_is_gated(spark):
+def _real_media_df(spark):
+    """Genuine PNG/WAV payloads, built with the stdlib-only encoders."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cpp_parquet_spark.pipeline.media_codecs import encode_png
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(6):
+        img = rng.integers(0, 256, size=(16 + i, 12 + i, 3), dtype=np.uint8)
+        rows.append((i, "image/png", 12 + i, 16 + i, None, bytearray(encode_png(img))))
+    for i in range(6, 10):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(
+                (np.sin(np.arange(400) / (3.0 + i)) * 15000).astype(np.int16).tobytes()
+            )
+        rows.append((i, "audio/wav", None, None, 50, bytearray(buf.getvalue())))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, width int, height int, duration_ms long, payload binary",
+    )
+
+
+def test_multimodal_real_mode_decodes_png_and_wav(spark):
+    """Round-5: mode="real" actually decodes — PNG via stdlib zlib +
+    scanline unfilter, WAV via RIFF parse (media_codecs.py).  Features
+    run over the DECODED bytes; resize runs over decoded pixels."""
+    import numpy as np
+
+    from cpp_parquet_spark.pipeline.multimodal import extract_features, resize_images
+
+    media = _real_media_df(spark)
+    feats = {r["media_id"]: r for r in extract_features(media, mode="real").collect()}
+    assert len(feats) == 10
+    for r in feats.values():
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert len(r["features"]) == 16
+    # WAV of sine int16 samples: decoded little-endian bytes cover high
+    # nibbles broadly; PNG of uniform-random pixels: near-uniform bins
+    png_bins = np.array(feats[0]["features"])
+    assert png_bins.max() < 0.2  # uniform random pixels -> no dominant bin
+    out = {r["media_id"]: r for r in resize_images(media, out_w=8, out_h=8, mode="real").collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert all(len(r["pixels"]) == 64 for r in out.values())
+    # determinism
+    out2 = {r["media_id"]: r for r in resize_images(media, out_w=8, out_h=8, mode="real").collect()}
+    assert all(bytes(out[k]["pixels"]) == bytes(out2[k]["pixels"]) for k in out)
+
+
+def test_multimodal_real_mode_video_stays_gated(spark):
+    """MP4 demux/codec decode is not a stdlib exercise: the ffmpeg seam
+    still raises for video payloads."""
     from cpp_parquet_spark.pipeline.multimodal import extract_features, synthetic_media
-    from py4j.protocol import Py4JJavaError
 
-    media = synthetic_media(_docs(spark).limit(5))
+    media = synthetic_media(_docs(spark).limit(9)).filter(
+        F.col("media_type") == "video/mp4"
+    )
     with pytest.raises(Exception) as exc:
         extract_features(media, mode="real").collect()
-    assert "NotImplementedError" in str(exc.value) or "real media decode" in str(exc.value)
+    assert "NotImplementedError" in str(exc.value) or "ffmpeg" in str(exc.value)
 
 
 def test_token_jaccard_lsh_equals_exact(spark):
