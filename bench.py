@@ -624,7 +624,7 @@ def _kernel_task(task):
     return total
 
 
-def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 8, budget_sec: float = 600.0) -> dict:
+def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 16, budget_sec: float = 900.0) -> dict:
     """Process-level scaling of the pure encode kernels (fork workers,
     no Spark/JVM/shuffle): same chunks, N vs 4N processes, warm pools.
     Secondary evidence isolating codec scalability from framework
