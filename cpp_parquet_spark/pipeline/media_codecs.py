@@ -5,8 +5,12 @@ header parse over ``np.frombuffer`` — the two simplest real formats,
 implemented without any image/audio library (none exist in this
 container; see multimodal.py).  Scope is deliberately minimal but
 real: 8-bit non-interlaced PNG in grayscale / gray+alpha / RGB / RGBA,
-and integer-PCM WAV.  Video (MP4) stays behind the ffmpeg seam — a
-container demuxer + codec is not a two-format stdlib exercise.
+and integer-PCM WAV.  For video the CONTAINER is demuxed for real —
+``parse_mp4_samples`` walks the ISO BMFF box tree (ISO/IEC 14496-12)
+and resolves per-sample byte ranges + keyframe flags from the stbl
+tables — while the codec bitstream decode (H.264 etc.) stays behind
+the ffmpeg seam; extraction is the container's job, decoding is the
+codec's.
 
 Unfiltering is vectorized where the filter's data dependency allows:
 None/Up are pure array adds, Sub is a per-byte-lane cumulative sum
@@ -151,3 +155,140 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     arr = np.frombuffer(samples, dtype=dtype)
     n = len(arr) // channels
     return arr[: n * channels].reshape(n, channels), rate
+
+
+# ---------------------------------------------------------------- MP4
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for ISO BMFF boxes in
+    [start, end); handles 64-bit largesize boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < hdr:
+            raise ValueError("corrupt MP4: box smaller than its header")
+        yield btype, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
+    """First box at the given nested path; (body_start, body_end) or None."""
+    if not path:
+        return start, end
+    for btype, b0, b1 in _walk_boxes(data, start, end):
+        if btype == path[0]:
+            return _find_box(data, b0, b1, path[1:])
+    return None
+
+
+def parse_mp4_samples(data: bytes) -> list[tuple[int, int, bool]]:
+    """Demux an MP4 (ISO BMFF) video track WITHOUT decoding: returns
+    [(file_offset, size, is_sync), ...] per sample, derived from the
+    sample tables (stsz sizes, stsc sample-to-chunk, stco/co64 chunk
+    offsets, stss sync samples; ISO/IEC 14496-12).  The payload bits
+    stay codec-encoded — only their decode needs ffmpeg; the container
+    walk does not."""
+    end = len(data)
+    # pick the first track whose handler is video
+    moov = _find_box(data, 0, end, [b"moov"])
+    if moov is None:
+        raise ValueError("not an MP4: no moov box")
+    stbl = None
+    for btype, b0, b1 in _walk_boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _find_box(data, b0, b1, [b"mdia"])
+        if mdia is None:
+            continue
+        hdlr = _find_box(data, *mdia, [b"hdlr"])
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _find_box(data, *mdia, [b"minf", b"stbl"])
+        break
+    if stbl is None:
+        raise ValueError("MP4 has no video track")
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, b0, b1 in _walk_boxes(data, *stbl):
+        tables[btype] = (b0, b1)
+
+    def full_box(name: bytes):
+        if name not in tables:
+            return None
+        b0, b1 = tables[name]
+        return b0 + 4, b1  # skip version+flags
+
+    # sizes
+    sz = full_box(b"stsz")
+    if sz is None:
+        raise ValueError("MP4 video track missing stsz")
+    p, _ = sz
+    uniform, count = struct.unpack(">II", data[p : p + 8])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack(f">{count}I", data[p + 8 : p + 8 + 4 * count]))
+    # chunk offsets (stco 32-bit or co64)
+    co = full_box(b"stco")
+    wide = False
+    if co is None:
+        co = full_box(b"co64")
+        wide = True
+    if co is None:
+        raise ValueError("MP4 video track missing stco/co64")
+    p, _ = co
+    (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+    fmt = ">%d%s" % (n_chunks, "Q" if wide else "I")
+    offs = list(struct.unpack(fmt, data[p + 4 : p + 4 + (8 if wide else 4) * n_chunks]))
+    # sample->chunk mapping
+    sc = full_box(b"stsc")
+    if sc is None:
+        raise ValueError("MP4 video track missing stsc")
+    p, _ = sc
+    (n_ent,) = struct.unpack(">I", data[p : p + 4])
+    ents = [
+        struct.unpack(">III", data[p + 4 + 12 * i : p + 16 + 12 * i]) for i in range(n_ent)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+    # sync table (absent = every sample is sync)
+    ss = full_box(b"stss")
+    sync: set[int] | None = None
+    if ss is not None:
+        p, _ = ss
+        (n_sync,) = struct.unpack(">I", data[p : p + 4])
+        sync = set(struct.unpack(f">{n_sync}I", data[p + 4 : p + 4 + 4 * n_sync]))
+
+    out: list[tuple[int, int, bool]] = []
+    sample = 0  # 0-based
+    for i, (first_chunk, per_chunk, _desc) in enumerate(ents):
+        last_chunk = ents[i + 1][0] - 1 if i + 1 < len(ents) else n_chunks
+        for chunk in range(first_chunk, last_chunk + 1):
+            pos = offs[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= count:
+                    break
+                size = sizes[sample]
+                is_sync = sync is None or (sample + 1) in sync
+                out.append((pos, size, is_sync))
+                pos += size
+                sample += 1
+    if sample != count:
+        raise ValueError(f"MP4 sample tables inconsistent: mapped {sample} of {count}")
+    return out
+
+
+def mp4_keyframes(data: bytes, n_frames: int) -> list[bytes]:
+    """Up to ``n_frames`` evenly-spaced SYNC samples' payload bytes
+    (still codec-encoded — extraction is the container's job, decoding
+    is the codec's)."""
+    samples = parse_mp4_samples(data)
+    syncs = [(o, s) for o, s, k in samples if k] or [(o, s) for o, s, _ in samples]
+    take = min(n_frames, len(syncs))
+    idx = [(i * len(syncs)) // take for i in range(take)]
+    return [bytes(data[o : o + s]) for o, s in (syncs[i] for i in idx)]

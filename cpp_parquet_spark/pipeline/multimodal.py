@@ -268,11 +268,17 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8, mode: str = 
     return images.mapInArrow(run, out_schema)
 
 
-def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """'Frame' sampling stub: slices the payload at even offsets — the
-    real implementation would seek keyframes; the partitioning/UDF shape
-    is identical.  Fully vectorized: frames are gathered batch-wide and
-    emitted as a zero-copy Arrow binary column."""
+def frame_sample(media: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataFrame:
+    """Keyframe sampling over opaque video payloads.
+
+    mode="fake" slices the payload at even byte offsets (deterministic,
+    DuckDB-oracle-checkable; fully vectorized batch-wide gather).
+    mode="real" (round-5) REALLY demuxes the MP4 container — the ISO
+    BMFF sample tables give each sample's byte range and sync flag
+    (media_codecs.parse_mp4_samples, stdlib only) — and emits up to
+    ``n_frames`` evenly-spaced KEYFRAME payloads.  The emitted bits
+    stay codec-encoded: bitstream decode (H.264 etc.) is the one step
+    that genuinely needs ffmpeg."""
     import pyarrow as pa
 
     frame_schema = StructType(
@@ -292,6 +298,27 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for b in batches:
             n = b.num_rows
             if n == 0:
+                continue
+            if mode == "real":
+                from cpp_parquet_spark.pipeline.media_codecs import mp4_keyframes
+
+                ids_out: list[int] = []
+                fidx_out: list[int] = []
+                frames_out: list[bytes] = []
+                mids = b.column("media_id").to_pylist()
+                for mid, data in zip(mids, b.column("payload").to_pylist()):
+                    for j, frame in enumerate(mp4_keyframes(data, n_frames)):
+                        ids_out.append(mid)
+                        fidx_out.append(j)
+                        frames_out.append(frame)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_out, pa.int64()),
+                        pa.array(fidx_out, pa.int32()),
+                        pa.array(frames_out, pa.binary()),
+                    ],
+                    schema=arrow_out,
+                )
                 continue
             lens, payload = _payload_components(b.column("payload"))
             starts_doc = np.cumsum(lens) - lens

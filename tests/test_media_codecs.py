@@ -117,3 +117,93 @@ def test_wav_8bit_mono_and_rejects():
     assert np.array_equal(out[:, 0], data)
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio at all.....")
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _full(btype: bytes, body: bytes) -> bytes:  # version 0, flags 0
+    return _box(btype, b"\x00\x00\x00\x00" + body)
+
+
+def _mini_mp4(samples, sync_1based, chunk_split):
+    """Hand-built minimal MP4: mdat carries `samples` (list of bytes),
+    split into chunks after `chunk_split` samples each; stss marks
+    `sync_1based`.  Returns (mp4_bytes, expected_offsets)."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # place mdat right after ftyp; moov at the end (offsets into mdat)
+    mdat_body = b"".join(samples)
+    mdat = _box(b"mdat", mdat_body)
+    mdat_data_start = len(ftyp) + 8
+
+    # chunk layout
+    chunks, i = [], 0
+    for cnt in chunk_split:
+        chunks.append(samples[i : i + cnt])
+        i += cnt
+    assert i == len(samples)
+    offs, pos, expected = [], mdat_data_start, []
+    for ch in chunks:
+        offs.append(pos)
+        for s in ch:
+            expected.append(pos)
+            pos += len(s)
+
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(b"avc1", b"\x00" * 16))
+    stts = _full(b"stts", struct.pack(">III", 1, len(samples), 1))
+    # stsc entries: runs of equal samples-per-chunk
+    ents = []
+    for ci, ch in enumerate(chunks):
+        if not ents or ents[-1][1] != len(ch):
+            ents.append((ci + 1, len(ch)))
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", len(ents))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in ents),
+    )
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, len(samples))
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full(
+        b"stco", struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs)
+    )
+    stss = _full(
+        b"stss",
+        struct.pack(">I", len(sync_1based))
+        + b"".join(struct.pack(">I", s) for s in sync_1based),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", b"\x00\x00\x00\x00" + b"vide" + b"\x00" * 12 + b"v\x00")
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov, expected
+
+
+def test_mp4_demux_sample_tables():
+    from cpp_parquet_spark.pipeline.media_codecs import mp4_keyframes, parse_mp4_samples
+
+    samples = [bytes([65 + i]) * (10 + 3 * i) for i in range(7)]  # distinct sizes
+    sync = [1, 4, 6]
+    data, expected_offs = _mini_mp4(samples, sync, chunk_split=[3, 2, 2])
+    got = parse_mp4_samples(data)
+    assert len(got) == 7
+    assert [o for o, _, _ in got] == expected_offs
+    assert [s for _, s, _ in got] == [len(s) for s in samples]
+    assert [k for _, _, k in got] == [i + 1 in sync for i in range(7)]
+    # keyframe extraction returns the exact sync samples' bytes
+    frames = mp4_keyframes(data, 3)
+    assert frames == [samples[0], samples[3], samples[5]]
+    # asking for more than available: capped, still sync-only
+    assert mp4_keyframes(data, 10) == [samples[0], samples[3], samples[5]]
+
+
+def test_mp4_demux_rejects_non_video():
+    from cpp_parquet_spark.pipeline.media_codecs import parse_mp4_samples
+
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4_samples(b"GIF89a this is not an mp4 at all........")

@@ -421,3 +421,32 @@ def test_substring_dup_spans_generate_emits_word_starts_only(spark):
     ).collect()[0]["n"]
     n_chars = 1000 - 64 + 1
     assert n < n_chars / 4, (n, n_chars)
+
+
+def test_frame_sample_real_mode_demuxes_mp4(spark):
+    """Round-5: frame_sample(mode='real') demuxes genuine MP4
+    containers (stbl tables) and emits the true keyframe sample
+    payloads — extraction without codec decode."""
+    from tests.test_media_codecs import _mini_mp4
+
+    from cpp_parquet_spark.pipeline.multimodal import frame_sample
+
+    rows = []
+    per_doc = {}
+    for i in range(3):
+        samples = [bytes([48 + i + j]) * (8 + j) for j in range(5)]
+        sync = [1, 3, 5]
+        data, _ = _mini_mp4(samples, sync, chunk_split=[2, 3])
+        per_doc[i] = [samples[0], samples[2], samples[4]]
+        rows.append((i, "video/mp4", None, None, 1000, bytearray(data)))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, width int, height int, duration_ms long, payload binary",
+    )
+    out = frame_sample(media, n_frames=3, mode="real").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert set(got) == {0, 1, 2}
+    for i in range(3):
+        assert [got[i][j] for j in range(3)] == per_doc[i]
