@@ -386,6 +386,18 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + top-k over the codes (round-5): the
+    4x-memory scale path for billion-vector ANN.  The quantization
+    arithmetic ((v - min_d) * 254 / range_d, half-up) and the cosine
+    over integer codes are both reproducible bit-identically in DuckDB,
+    so this is a fully-oracled query."""
+    from cpp_parquet_spark.pipeline.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantized_topk(emb, k=5, query_filter="id % 50 = 0")
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al.), exact DuckDB oracle:
     the md5-based 60-bit hash (md5_hash60) is computable bit-identically
@@ -573,6 +585,17 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming exact-dedup
+    (streaming.dedup_events_stream / dropDuplicatesWithinWatermark):
+    one row per content key with first-seen event + duplicate count.
+    Key excludes doubles so the sha256 is engine-portable."""
+    from cpp_parquet_spark.streaming import dedup_events_first_seen
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dedup_events_first_seen(events)
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap) — the batch oracle
     of the applyInPandasWithState streaming operator
@@ -611,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "similarity_topk": _q_similarity_topk,
+        "similarity_quantized_topk": _q_similarity_quantized,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "similarity_ivf_topk": _q_similarity_ivf,
@@ -619,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_dedup_stream": _q_events_dedup_stream,
         "decoded_join_revenue": _q_decoded_join_revenue,
         "pruned_scan_agg": _q_pruned_scan_agg,
         # real Parquet wire output (O13/O15/O21 complete)
@@ -855,6 +880,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "events_dedup_stream": """
+            SELECT sha256(concat_ws(chr(31), CAST(user_id AS VARCHAR),
+                                    event_type, props)) AS k,
+                   min(user_id) AS user_id,
+                   min(event_type) AS event_type,
+                   min(props) AS props,
+                   min(event_id) AS first_event_id,
+                   CAST(min(ts) AS VARCHAR) AS first_ts,
+                   count(*) AS n_occurrences
+            FROM events
+            GROUP BY 1
+        """,
         "similarity_ivf_topk": """
             WITH v AS (
               SELECT vec_id,
@@ -963,6 +1000,46 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(CAST(list_dot_product(b.iv, b.iv) AS DOUBLE))), 6) AS cosine
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             ) WHERE cosine >= 0.9
+        """,
+        # Int8 scalar quantization replayed exactly: same per-dimension
+        # min/max, same (v-min)*254/range half-up rounding (nonnegative,
+        # so HALF_UP == round-half-away), cosine over integer codes.
+        "similarity_quantized_topk": """
+            WITH dims AS (
+              SELECT i AS pos,
+                     min(CAST(embedding[i] AS DOUBLE)) AS mn,
+                     max(CAST(embedding[i] AS DOUBLE)) AS mx
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+              GROUP BY i
+            ),
+            dl AS (
+              SELECT list(mn ORDER BY pos) AS mins,
+                     list(mx - mn ORDER BY pos) AS rngs
+              FROM dims
+            ),
+            q AS (
+              SELECT vec_id AS id,
+                     list_transform(
+                       range(1, len(embedding) + 1),
+                       i -> CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mins[i]) * 254.0 / rngs[i]) AS BIGINT)
+                            END
+                     ) AS qvec
+              FROM embeddings, dl
+            ),
+            scored AS (
+              SELECT a.id AS qid, b.id AS cid,
+                     CAST(list_dot_product(a.qvec, b.qvec) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(a.qvec, a.qvec) AS DOUBLE))
+                          * sqrt(CAST(list_dot_product(b.qvec, b.qvec) AS DOUBLE))) AS cos
+              FROM q a JOIN q b ON a.id % 50 = 0 AND b.id <> a.id
+            )
+            SELECT qid, cid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT qid, cid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM scored WHERE NOT isnan(cos)
+            ) WHERE rank <= 5
         """,
         # Winnowing replayed exactly in SQL: same tokens, same md5-based
         # 60-bit k-gram hash (CAST('0x'||hex AS BIGINT) == Spark's

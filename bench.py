@@ -643,7 +643,12 @@ def run_kernel_scaling(input_path: str, min_rounds: int = 3, max_rounds: int = 1
     _KPLANS = plan_from_schema(_KTABLE.schema)
     n = _KTABLE.num_rows
     rows = 4096
-    tasks = [(i, min(rows, n - i)) for i in range(0, n, rows)]
+    # repeat the task list 3x: a single pass is ~3.5 s at 1 proc, too
+    # short relative to the multi-second sub-steal-gate disturbances on
+    # this box — two round-5 runs never got two agreeing 1-proc samples
+    # in 8 and 16 rounds.  A ~10 s measured job averages over the
+    # short spikes; the estimator (agreed min) is unchanged.
+    tasks = [(i, min(rows, n - i)) for i in range(0, n, rows)] * 3
     lo, hi = SCALE_N, SCALE_N * 4
     times: dict[int, list[float]] = {lo: [], hi: []}
     kbatches: dict[int, list[int]] = {lo: [], hi: []}

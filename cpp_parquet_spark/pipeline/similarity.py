@@ -345,3 +345,79 @@ def embedding_near_dup_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column (round-5): each
+    dimension is linearly mapped onto 255 levels between its global
+    [min, max] — a 4x memory cut that makes billion-vector ANN indexes
+    RAM-resident (the FAISS SQ8 baseline).
+
+    The per-dimension stats are one tiny aggregation (d rows collected
+    to the driver, like presample_codecs); quantization itself is pure
+    JVM array arithmetic (zip_with), no Python in the data path.  All
+    arithmetic is (value - min) * 254 / range, half-up rounded — chosen
+    because every step is reproducible bit-identically in ANSI SQL, so
+    the codes (and anything computed from them in exact integer math)
+    are oracle-checkable."""
+    stats = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    mins = F.array(*[F.lit(r["mn"]) for r in stats])
+    rngs = F.array(*[F.lit(r["mx"] - r["mn"]) for r in stats])
+    centered = F.zip_with(F.col(vec_col), mins, lambda x, m: x.cast("double") - m)
+    codes = F.zip_with(
+        centered,
+        rngs,
+        lambda x, r: F.when(r == 0, F.lit(0).cast("long")).otherwise(
+            F.round(x * 254.0 / r).cast("long")
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("qvec"))
+
+
+def quantized_topk(
+    df: DataFrame,
+    k: int = 5,
+    query_filter: str = "id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over int8-quantized codes — the memory-bound
+    scale path of cosine_topk: the corpus held as codes is 4x smaller,
+    and the cosine over integer codes is exact integer arithmetic
+    (identical in any engine).  Query side broadcast, ranking per-qid
+    window, self-match excluded — same plan shape as cosine_topk."""
+    q = quantize_int8(df, id_col, vec_col)
+    base = q.select(F.col("id").alias("cid"), F.col("qvec").alias("cvec"))
+    queries = q.filter(F.expr(query_filter)).select(
+        F.col("id").alias("qid"), F.col("qvec").alias("qvec")
+    )
+    dot = _dot(F.col("qvec"), F.col("cvec")).cast("double")
+    nq = F.sqrt(_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nc = F.sqrt(_dot(F.col("cvec"), F.col("cvec")).cast("double"))
+    scored = (
+        base.join(F.broadcast(queries), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (nq * nc)).alias("cos"))
+        .filter(~F.isnan("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "cid",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -252,3 +252,51 @@ def windowed_event_stats(events: DataFrame, watermark: str = "10 minutes", windo
             "approx_users",
         )
     )
+
+
+DEDUP_KEY_COLS = ("user_id", "event_type", "props")
+
+
+def _event_key(cols=DEDUP_KEY_COLS) -> "F.Column":
+    """Content hash over int/string columns only — doubles are excluded
+    because float->string formatting is engine-specific and the batch
+    twin must be recomputable bit-identically in SQL."""
+    return F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256
+    )
+
+
+def dedup_events_first_seen(events: DataFrame, key_cols=DEDUP_KEY_COLS) -> DataFrame:
+    """Batch exact-dedup of an event stream: one row per content key,
+    carrying the first-seen timestamp/event and the duplicate count —
+    the SQL-expressible twin (and oracle) of :func:`dedup_events_stream`.
+
+    One aggregation shuffle on the 32-byte content hash; at 100 TB the
+    state per key is O(1) and the key space is bounded by distinct
+    content, never by row count."""
+    keyed = events.withColumn("k", _event_key(key_cols))
+    return keyed.groupBy("k").agg(
+        F.min("user_id").alias("user_id"),
+        F.min("event_type").alias("event_type"),
+        F.min("props").alias("props"),
+        F.min("event_id").alias("first_event_id"),
+        F.min(F.col("ts").cast("timestamp")).cast("string").alias("first_ts"),
+        F.count("*").alias("n_occurrences"),
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "10 minutes", key_cols=DEDUP_KEY_COLS
+) -> DataFrame:
+    """Streaming exact-dedup: ``dropDuplicatesWithinWatermark`` on the
+    content hash — the streaming front door of
+    :func:`dedup_events_first_seen`.  State holds one entry per
+    distinct key seen inside the watermark horizon and is evicted as
+    the watermark advances (bounded state, unlike an unwindowed
+    dropDuplicates); re-delivered rows inside the horizon are dropped,
+    which is what makes at-least-once upstream delivery effectively
+    exactly-once downstream."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return ev.withColumn("k", _event_key(key_cols)).dropDuplicatesWithinWatermark(["k"])

@@ -135,3 +135,39 @@ def test_windowed_event_stats_streaming_drops_state(spark, tmp_path):
     # single batch nothing may close — the assertion is that the
     # streaming plan is valid and runs to completion
     assert q.lastProgress is not None
+
+
+def test_dedup_events_stream_matches_batch_keys(spark, tmp_path):
+    """Round-5 streaming exact-dedup: dropDuplicatesWithinWatermark on
+    the content hash emits exactly one row per distinct key (ordered
+    input, duplicates within the watermark horizon), matching the batch
+    twin's key set; the batch twin's n_occurrences proves the input had
+    real duplicates to drop."""
+    from cpp_parquet_spark.streaming import dedup_events_first_seen, dedup_events_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "ev")
+    events.orderBy("ts").coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        dedup_events_stream(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select k from dedup").collect()
+    got_keys = [r["k"] for r in got]
+    assert len(got_keys) == len(set(got_keys)), "stream emitted a duplicate key"
+    batch = dedup_events_first_seen(events).collect()
+    assert set(got_keys) == {r["k"] for r in batch}
+    # the test is non-vacuous only if the input really had duplicates
+    assert sum(r["n_occurrences"] - 1 for r in batch) > 0
+    assert events.count() == sum(r["n_occurrences"] for r in batch)
