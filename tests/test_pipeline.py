@@ -450,3 +450,37 @@ def test_frame_sample_real_mode_demuxes_mp4(spark):
     assert set(got) == {0, 1, 2}
     for i in range(3):
         assert [got[i][j] for j in range(3)] == per_doc[i]
+
+
+def test_quantized_topk_plan_shape(spark):
+    """quantized_topk stays fully JVM-side (zip_with arithmetic, no
+    Python in the data path) and broadcasts the query side."""
+    from cpp_parquet_spark.pipeline.similarity import quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = quantized_topk(emb, k=3, query_filter="id % 50 = 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # and it returns exact-ranked rows
+    rows = df.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        cosines = [c for _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dedup_events_first_seen_single_shuffle(spark):
+    """The streaming-dedup batch twin is one hash-aggregate shuffle on
+    the content key — no joins, no Python."""
+    from cpp_parquet_spark.streaming import dedup_events_first_seen
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = dedup_events_first_seen(events)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
