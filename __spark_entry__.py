@@ -596,6 +596,37 @@ def _q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events_first_seen(events)
 
 
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (round-5): every purchase matched to the user's most
+    recent prior-or-simultaneous view — union + ordered-window fill
+    (ONE shuffle, no join operator in the plan) vs DuckDB's native
+    ASOF LEFT JOIN as the oracle."""
+    from cpp_parquet_spark.pipeline.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        right_values={"view_event_id": "event_id", "view_ts": "ts"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "view_event_id",
+        F.col("view_ts").cast("string").alias("view_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("view_ts").cast("timestamp"))).alias("gap_us"),
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap) — the batch oracle
     of the applyInPandasWithState streaming operator
@@ -644,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_dedup_stream": _q_events_dedup_stream,
+        "events_asof_join": _q_events_asof_join,
         "decoded_join_revenue": _q_decoded_join_revenue,
         "pruned_scan_agg": _q_pruned_scan_agg,
         # real Parquet wire output (O13/O15/O21 complete)
@@ -879,6 +911,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_asof_join": """
+            SELECT p.event_id,
+                   p.user_id,
+                   CAST(p.ts AS VARCHAR) AS ts,
+                   v.event_id AS view_event_id,
+                   CAST(v.ts AS VARCHAR) AS view_ts,
+                   CASE WHEN v.ts IS NULL THEN NULL
+                        ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "events_dedup_stream": """
             SELECT sha256(concat_ws(chr(31), CAST(user_id AS VARCHAR),

@@ -484,3 +484,34 @@ def test_dedup_events_first_seen_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: inclusive at equal timestamps, NULL before any right
+    row, per-key isolation — one shuffle, no join operator in the plan."""
+    from cpp_parquet_spark.pipeline.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:05:00"),
+            (2, 10, "2024-01-01 00:00:30"),   # before any right row
+            (3, 10, "2024-01-01 00:04:00"),   # equal ts -> inclusive match
+            (4, 20, "2024-01-01 00:09:00"),   # other key
+        ],
+        "id long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 00:01:00"),
+            (101, 10, "2024-01-01 00:04:00"),
+            (102, 20, "2024-01-01 00:02:00"),
+            (103, 30, "2024-01-01 00:00:00"),  # key never queried
+        ],
+        "rid long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, on=["k"], ts_col="ts", right_values={"rid": "rid"})
+    got = {r["id"]: r["rid"] for r in out.collect()}
+    assert got == {1: 101, 2: None, 3: 101, 4: 102}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
