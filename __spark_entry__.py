@@ -627,6 +627,31 @@ def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (round-5): every error within 30 minutes
+    AFTER a purchase by the same user — bucketized equi-join blocking
+    (each pair produced exactly once), never a per-key cross product.
+    Oracle is the plain inequality join DuckDB can run directly."""
+    from cpp_parquet_spark.pipeline.asof import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        purchases, errors, on=["user_id"], ts_col="ts", lower_us=0, upper_us=1_800_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id").alias("error_event_id"),
+        "gap_us",
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap) — the batch oracle
     of the applyInPandasWithState streaming operator
@@ -676,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_dedup_stream": _q_events_dedup_stream,
         "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "decoded_join_revenue": _q_decoded_join_revenue,
         "pruned_scan_agg": _q_pruned_scan_agg,
         # real Parquet wire output (O13/O15/O21 complete)
@@ -911,6 +937,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_range_join": """
+            SELECT p.event_id,
+                   p.user_id,
+                   e.event_id AS error_event_id,
+                   epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+              ON p.user_id = e.user_id
+             AND epoch_us(e.ts) - epoch_us(p.ts) BETWEEN 0 AND 1800000000
         """,
         "events_asof_join": """
             SELECT p.event_id,

@@ -75,3 +75,67 @@ def asof_join(
         *[F.last(f"_rv_{out}", ignorenulls=True).over(w).alias(out) for out in right_values],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    lower_us: int = 0,
+    upper_us: int = 300_000_000,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs with equal ``on`` keys and
+    right.ts - left.ts in [lower_us, upper_us] microseconds — the other
+    temporal-join primitive Spark lacks as a first-class operator.
+
+    A naive theta-join is a per-key cross product; Catalyst executes it
+    as BroadcastNestedLoop when it can't find an equi-key.  The
+    scale-safe form here adds one: time is bucketized at width
+    (upper_us - lower_us), each right row lands in exactly ONE bucket,
+    and each left row's window overlaps at most TWO consecutive
+    buckets — so the left side explodes 2x onto candidate buckets, the
+    join is a plain equi-join on (key, bucket) (hash shuffle, AQE
+    skew-splittable), and the exact interval predicate filters the
+    candidates.  Each qualifying pair is produced exactly once (the
+    right row's bucket is unique).  2x map-side fan-out buys the
+    elimination of the per-key cross product."""
+    width = upper_us - lower_us
+    if width <= 0:
+        raise ValueError("upper_us must exceed lower_us")
+
+    def ibucket(x):
+        # exact integer floor-division in the LONG domain: x - pmod(x,w)
+        # is exactly divisible, so the double division is exact — a
+        # plain floor(x / w) on epoch-microsecond doubles can flip
+        # buckets near boundaries (quotient rounding at ~2^-52)
+        return ((x - F.pmod(x, F.lit(width))) / F.lit(width)).cast("long")
+
+    lt = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # left window [lt+lower, lt+upper] spans buckets floor((lt+lower)/w)
+    # and that +1; right row's bucket is floor(rt/w)
+    lb = ibucket(lt + F.lit(lower_us))
+    l_side = left.select(
+        *left.columns,
+        F.explode(F.array(lb, lb + 1)).alias("_bucket"),
+        lt.alias("_lts"),
+    )
+    rt = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    r_side = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+        ibucket(rt).alias("_rbucket"),
+        rt.alias("_rts"),
+    )
+    delta = F.col("_rts") - F.col("_lts")
+    joined = l_side.join(
+        r_side,
+        [l_side["_bucket"] == r_side["_rbucket"]]
+        + [l_side[k] == r_side[f"{right_prefix}{k}"] for k in on],
+        "inner",
+    )
+    return (
+        joined.filter((delta >= lower_us) & (delta <= upper_us))
+        .withColumn("gap_us", delta)
+        .drop("_bucket", "_rbucket", "_lts", "_rts")
+    )

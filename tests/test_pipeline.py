@@ -515,3 +515,38 @@ def test_asof_join_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_range_join_exact_and_equi_joined(spark):
+    """range_join: bucketized interval join — every qualifying pair
+    exactly once (boundary-inclusive both ends), executed as an
+    equi-join (hash/sort-merge), never BroadcastNestedLoop."""
+    from cpp_parquet_spark.pipeline.asof import range_join
+
+    # craft pairs at and around the bucket boundary: width = 10s
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:10.000000"), (2, 7, "2024-01-01 00:00:25.000000")],
+        "id long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (100, 7, "2024-01-01 00:00:10.000000"),  # gap 0 (inclusive)
+            (101, 7, "2024-01-01 00:00:20.000000"),  # gap 10s (inclusive upper)
+            (102, 7, "2024-01-01 00:00:20.000001"),  # just outside for id 1
+            (103, 8, "2024-01-01 00:00:11.000000"),  # other key
+        ],
+        "rid long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = range_join(left, right, on=["k"], ts_col="ts", lower_us=0, upper_us=10_000_000)
+    pairs = sorted((r["id"], r["r_rid"], r["gap_us"]) for r in out.collect())
+    # left 1 (t=10s) matches 100 (gap 0, inclusive lower) and 101
+    # (gap 10s, inclusive upper — lands in the second candidate
+    # bucket); 102 is 1 us outside; left 2 (t=25s) matches nothing
+    # (102 is BEFORE it); key 8 never pairs
+    assert pairs == [
+        (1, 100, 0),
+        (1, 101, 10_000_000),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "EvalPython" not in plan
