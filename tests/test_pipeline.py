@@ -550,3 +550,93 @@ def test_range_join_exact_and_equi_joined(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_ivf_and_quantized_recall_vs_exact(spark):
+    """Quality gates for the approximate/compressed ANN paths: recall@5
+    against exact cosine top-k on the real embeddings.  IVF probes a
+    subset of lists; SQ8 ranks on dequantization-free integer codes —
+    both must stay close to exact."""
+    from cpp_parquet_spark.pipeline.similarity import cosine_topk, ivf_topk, quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, query_filter="vec_id % 50 = 0").collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+
+    sq = quantized_topk(emb, k=5, query_filter="id % 50 = 0").collect()
+    got_sq = {}
+    for r in sq:
+        got_sq.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(truth[q] & got_sq.get(q, set())) for q in truth)
+    recall_sq = hits / sum(len(v) for v in truth.values())
+    # measured 0.72 on these 16-dim embeddings (dense near-ties make
+    # top-5 rank-set recall a harsh metric for 8-bit codes); gate with
+    # headroom against regression, not at the measured value
+    assert recall_sq >= 0.6, f"SQ8 recall@5 {recall_sq:.2f}"
+
+    # recall rises with nprobe — the probe/quality dial the operator
+    # exposes (measured here: 0.58 @ nprobe=4, higher @ 8/16 lists)
+    ivf = ivf_topk(emb, k=5, nprobe=8, query_filter="vec_id % 50 = 0").collect()
+    got_ivf = {}
+    for r in ivf:
+        got_ivf.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(truth[q] & got_ivf.get(q, set())) for q in truth)
+    recall_ivf = hits / sum(len(v) for v in truth.values())
+    assert recall_ivf >= 0.7, f"IVF recall@5 (nprobe=8) {recall_ivf:.2f}"
+
+
+def test_asof_and_range_join_match_bruteforce(spark):
+    """Property check on real data: the scalable formulations equal the
+    brute-force definitions (correlated max / theta join) on the events
+    table at sf0.001."""
+    from pyspark.sql.window import Window
+
+    from cpp_parquet_spark.pipeline.asof import asof_join, range_join
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    got = {
+        (r["event_id"], r["vid"])
+        for r in asof_join(left, right, on=["user_id"], ts_col="ts", right_values={"vid": "event_id"}).collect()
+    }
+    # brute force: theta join + keep max right ts per left row
+    j = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.ts") <= F.col("l.ts")),
+        "left",
+    )
+    w = Window.partitionBy("l.event_id").orderBy(F.col("r.ts").desc())
+    brute = {
+        (r["lid"], r["vid"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("vid"))
+        .collect()
+    }
+    assert got == brute
+
+    got_rj = {
+        (r["event_id"], r["r_event_id"])
+        for r in range_join(left, right, on=["user_id"], ts_col="ts", lower_us=0, upper_us=600_000_000).collect()
+    }
+    brute_rj = {
+        (r["lid"], r["rid"])
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts")) >= 0)
+            & (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts")) <= 600_000_000),
+        )
+        .select(F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid"))
+        .collect()
+    }
+    assert got_rj == brute_rj
