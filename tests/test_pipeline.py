@@ -640,3 +640,31 @@ def test_asof_and_range_join_match_bruteforce(spark):
         .collect()
     }
     assert got_rj == brute_rj
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    """SQ8 contract: codes in [0, 254]; linear dequantization
+    reconstructs every value within half a quantization step of its
+    dimension's range (the scalar-quantizer error bound)."""
+    import numpy as np
+
+    from cpp_parquet_spark.pipeline.similarity import quantize_int8
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i), [float(x) for x in (rng.standard_normal(8) * (10 ** (i % 3))).astype(np.float32)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = {r["id"]: r["qvec"] for r in quantize_int8(df).collect()}
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    mat = np.array([vecs[i] for i in sorted(vecs)])
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    rngs = mx - mn
+    step = rngs / 254.0
+    for i, codes in q.items():
+        codes = np.array(codes, dtype=np.float64)
+        assert codes.min() >= 0 and codes.max() <= 254
+        recon = mn + codes * step
+        err = np.abs(recon - vecs[i])
+        assert (err <= step / 2 + 1e-9).all(), (i, err.max(), step)
