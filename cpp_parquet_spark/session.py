@@ -21,8 +21,21 @@ MALLOC_ENV = {
 
 
 def apply_malloc_env() -> None:
+    """Make the arena settings effective for child processes (env) AND
+    for the CURRENT process (mallopt): glibc reads MALLOC_* env vars
+    only at process startup, so setting os.environ from inside a
+    long-running Python (pytest, a driver) does nothing for its own
+    allocations — mallopt(M_MMAP_THRESHOLD/M_TRIM_THRESHOLD) does."""
     for k, v in MALLOC_ENV.items():
         os.environ.setdefault(k, v)
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: env vars for children still apply
 
 
 def get_spark(
