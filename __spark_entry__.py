@@ -30,10 +30,32 @@ from pyspark.sql import functions as F
 
 
 def _roundtrip(df: DataFrame) -> DataFrame:
-    """encode → decode through the engine (the data really round-trips)."""
+    """encode → decode through the engine (the data really round-trips).
+
+    Round-6 shape: the sf tables are single small files, so the encode
+    used to run as ONE scan task; an explicit repartition spreads it
+    across the cluster, and the decode chains narrowly onto the encode
+    (``grouped=True`` — encode output is clustered by chunk within each
+    task by construction), so the whole round trip costs exactly one
+    Exchange.  Two measured refinements (guide §2.5):
+
+    * Fan-out is ``defaultParallelism // 2``, not the full core count:
+      the chained encode+decode stage runs TWO Python workers per task
+      (one per MapInArrow eval), so half-width keeps concurrent Python
+      workers ≈ cores on any cluster size (full-width measured
+      2.0-2.7 s vs 1.25-1.4 s on lineitem at sf0.1).
+    The repartition stays round-robin rather than keyed on a whole-row
+    hash: keyed partitioning would skip sortBeforeRepartition's local
+    sort (~0.45 s on lineitem), but it perturbs the floating-point
+    aggregation order downstream queries sum in, and a measured run
+    flipped a round(sum(double), 2) result by one cent against the
+    DuckDB oracle.  Result-identity outranks the sort cost.
+    """
     from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
 
-    return decode_dataframe(encode_dataframe(df, codec="auto"), df.schema)
+    n = max(1, df.sparkSession.sparkContext.defaultParallelism // 2)
+    enc = encode_dataframe(df.repartition(n), codec="auto")
+    return decode_dataframe(enc, df.schema, grouped=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -123,7 +145,6 @@ def _q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to rows — every element value passes through per-leaf codecs
     and the Dremel reassembly (the reference's nested matrix,
     parquet-file-test.cc:515-600)."""
-    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     src = orders.select(
@@ -135,7 +156,7 @@ def _q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = src.groupBy("o_custkey").agg(
         F.collect_list(F.struct("o_orderkey", "price", "prio")).alias("orders")
     )
-    dec = decode_dataframe(encode_dataframe(nested, codec="auto"), nested.schema)
+    dec = _roundtrip(nested)
     return dec.select("o_custkey", F.explode("orders").alias("o")).select(
         "o_custkey",
         F.col("o.o_orderkey").alias("o_orderkey"),
@@ -149,7 +170,6 @@ def _q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributes packed into map<string,string> — with whole-map nulls
     and null values — encoded → decoded through the engine's key/value
     leaf codecs and Dremel reassembly, then unpacked back to columns."""
-    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     src = orders.select(
@@ -165,7 +185,7 @@ def _q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("attrs"),
     )
-    dec = decode_dataframe(encode_dataframe(src, codec="auto"), src.schema)
+    dec = _roundtrip(src)
     return dec.select(
         "o_orderkey",
         F.col("attrs")["status"].alias("status"),
@@ -178,7 +198,6 @@ def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType round trip (round-4): lineitem prices as
     decimal(12,2) — Parquet DECIMAL-as-FLBA semantics through the
     engine's fixed-width kernels — aggregated exactly after decode."""
-    from cpp_parquet_spark.engine import decode_dataframe, encode_dataframe
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     src = li.select(
@@ -188,7 +207,7 @@ def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("l_discount") * 100).cast("decimal(5,2)"))
         .alias("disc_pct"),
     )
-    dec = decode_dataframe(encode_dataframe(src, codec="auto"), src.schema)
+    dec = _roundtrip(src)
     # final aggregates cast to double: DuckDB's client surfaces DECIMAL
     # aggregates as float64, so reporting doubles on both sides keeps
     # the driver's value-hash comparison dtype-symmetric (the decimal
@@ -537,9 +556,14 @@ def _q_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arranged = orders.repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey")
     chunks = encode_dataframe(arranged, codec="auto", chunk_rows=2048)
-    # pruning on the DEFAULT decode surface (round-5): the predicate
-    # routes through prune_chunks inside decode_dataframe
-    decoded = decode_dataframe(chunks, arranged.schema, predicate=("o_orderkey", lo, hi))
+    # pruning on the DEFAULT decode surface (round-5); round-6:
+    # grouped=True routes the predicate through the group-wise window
+    # prune on the decode exchange — the semi-join's broadcast build
+    # side re-executed the entire upstream encode (two full encode
+    # subtrees in the r5 plan, plans/r06/pruned_scan_agg_before.txt)
+    decoded = decode_dataframe(
+        chunks, arranged.schema, predicate=("o_orderkey", lo, hi), grouped=True
+    )
     return (
         decoded.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
         .groupBy("o_orderstatus")

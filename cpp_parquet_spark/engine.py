@@ -365,6 +365,8 @@ def decode_dataframe(
     chunks: DataFrame,
     schema: StructType,
     predicate: tuple[str, object, object] | None = None,
+    grouped: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode_dataframe`: chunk rows → original table.
 
@@ -375,17 +377,57 @@ def decode_dataframe(
     default pushdown surface for the SGC store (round-3 item #7 /
     round-4 item #4): callers get pruning by passing the predicate they
     would otherwise apply post-decode (pruning is conservative; still
-    apply the exact filter after decoding)."""
-    from pyspark.sql.pandas.types import to_arrow_schema
+    apply the exact filter after decoding).
 
-    if predicate is not None:
-        col, lower, upper = predicate
-        chunks = prune_chunks(chunks, schema, col, lower=lower, upper=upper)
+    ``grouped=True`` asserts that ``chunks`` is already clustered by
+    (part_id, chunk_id) within its partitions — true by construction
+    for the direct in-plan output of :func:`encode_dataframe` (each
+    encode task emits whole chunk groups contiguously) — and skips the
+    repartition+sort entirely: the decode chains narrowly onto the
+    encode with no Exchange (round-6, guide §2.4).  With a
+    ``predicate`` the pruning then runs as a JVM-side group-wise window
+    filter on the single decode exchange instead of the semi-join,
+    because the semi-join's broadcast build side would re-execute the
+    whole upstream encode (measured: pruned_scan_agg ran encode twice).
+
+    ``num_partitions`` sizes the decode exchange explicitly (default
+    ``defaultParallelism``: one wave, one decode task per core).
+    Without it, AQE coalesces the ~10x-compressed chunk shuffle to its
+    advisory size and the decode — whose output re-expands by the
+    compression ratio — runs nearly serial (measured: 5 of 64
+    partitions survived coalescing at sf0.1; explicit one-wave sizing
+    measured 0.52-0.63 s vs 0.66-1.15 s.  Guide §2.2/§2.5: size
+    partitions for the *decoded* side).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
     plans = plan_from_schema(arrow_schema)
 
-    grouped = chunks.repartition("part_id", "chunk_id").sortWithinPartitions("part_id", "chunk_id")
+    if grouped:
+        if predicate is not None:
+            col, lower, upper = predicate
+            n = num_partitions or chunks.sparkSession.sparkContext.defaultParallelism
+            from pyspark.sql import Window
+
+            cond = _prune_condition(chunks, schema, col, lower=lower, upper=upper)
+            if cond is not None:
+                w = Window.partitionBy("part_id", "chunk_id")
+                chunks = (
+                    chunks.repartition(n, "part_id", "chunk_id")
+                    .withColumn("__keep", F.max(cond.cast("int")).over(w))
+                    .filter(F.col("__keep") == 1)
+                    .drop("__keep")
+                )
+        grouped_df = chunks
+    else:
+        if predicate is not None:
+            col, lower, upper = predicate
+            chunks = prune_chunks(chunks, schema, col, lower=lower, upper=upper)
+        n = num_partitions or chunks.sparkSession.sparkContext.defaultParallelism
+        grouped_df = chunks.repartition(n, "part_id", "chunk_id").sortWithinPartitions(
+            "part_id", "chunk_id"
+        )
 
     def decode_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from cpp_parquet_spark.chunk import decode_chunk_to_column
@@ -419,7 +461,7 @@ def decode_dataframe(
         if payloads:
             yield flush()
 
-    return grouped.mapInArrow(decode_batches, schema)
+    return grouped_df.mapInArrow(decode_batches, schema)
 
 
 def prune_chunks(
@@ -460,6 +502,19 @@ def prune_chunks(
     always KEPT under a lower-bound predicate.  An unorderable bound
     raises rather than building a silently-NULL predicate.
     """
+    cond = _prune_condition(chunks, schema, column, lower=lower, upper=upper)
+    if cond is None:
+        return chunks
+    surviving = chunks.filter(cond).select("part_id", "chunk_id")
+    return chunks.join(F.broadcast(surviving), ["part_id", "chunk_id"], "leftsemi")
+
+
+def _prune_condition(chunks: DataFrame, schema: StructType, column: str, lower=None, upper=None):
+    """The JVM-side per-chunk-row "may contain a value in range"
+    condition shared by :func:`prune_chunks` (semi-join form) and the
+    grouped window prune in :func:`decode_dataframe`.  Returns None when
+    no bound is set (nothing to prune).  Semantics documented on
+    :func:`prune_chunks`."""
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -470,7 +525,7 @@ def prune_chunks(
         raise KeyError(f"unknown leaf column {column!r}; have {sorted(plans)}")
     dtype = plans[column].arrow_type
     if lower is None and upper is None:
-        return chunks
+        return None
     # all-null/empty chunks (num_values == 0) satisfy no range
     # predicate; chunks with live values but NULL stat keys (stats
     # computation unavailable) must survive every range condition.
@@ -491,9 +546,7 @@ def prune_chunks(
             # var-length bound): the upper conjunct is vacuously true.
         else:
             range_ok = range_ok & (F.col("stat_min") <= F.lit(hi_key))
-    pred = pred & (F.col("stat_min").isNull() | range_ok)
-    surviving = chunks.filter(pred).select("part_id", "chunk_id")
-    return chunks.join(F.broadcast(surviving), ["part_id", "chunk_id"], "leftsemi")
+    return pred & (F.col("stat_min").isNull() | range_ok)
 
 
 def partition_for_encoding(

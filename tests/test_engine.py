@@ -403,3 +403,68 @@ def test_decode_dataframe_predicate_prunes_before_python(spark):
     )
     assert n_pruned < n_all / 3
     chunks.unpersist()
+
+
+def test_decode_grouped_narrow_chain_no_exchange(spark):
+    """Round-6: decode_dataframe(grouped=True) on the direct in-plan
+    output of encode_dataframe chains narrowly — no Exchange between
+    the encode and decode MapInArrow nodes — and still reproduces the
+    rows exactly."""
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("s"),
+    ).repartition(4)
+    enc = encode_dataframe(df, codec="auto", chunk_rows=4096)
+    decoded = decode_dataframe(enc, df.schema, grouped=True)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    # one Exchange from the repartition(4); none between the MapInArrows
+    first_map = plan.find("MapInArrow")
+    second_map = plan.find("MapInArrow", first_map + 1)
+    assert second_map > -1, plan
+    assert "Exchange" not in plan[first_map:second_map], plan
+    got = decoded.agg(
+        F.count("*").alias("n"), F.sum("k").alias("sk"), F.sum(F.length("s")).alias("ls")
+    ).collect()[0]
+    want = df.agg(
+        F.count("*").alias("n"), F.sum("k").alias("sk"), F.sum(F.length("s")).alias("ls")
+    ).collect()[0]
+    assert (got["n"], got["sk"], got["ls"]) == (want["n"], want["sk"], want["ls"])
+
+
+def test_decode_grouped_window_prune_matches_semi_join(spark):
+    """Round-6: the grouped window prune (predicate + grouped=True)
+    keeps exactly the chunk groups the semi-join form keeps — without
+    re-executing the upstream encode (the r5 plan contained the whole
+    encode subtree twice, plans/r06/pruned_scan_agg_before.txt)."""
+    df = (
+        spark.range(0, 40_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 13).cast("double").alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    chunks = encode_dataframe(df, codec="auto", chunk_rows=2048)
+    decoded = decode_dataframe(chunks, df.schema, predicate=("k", 5_000, 6_000), grouped=True)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE encode subtree in the plan (the semi-join form had two)
+    assert plan.count("encode_batches") == 1, plan
+    got = (
+        decoded.filter((F.col("k") >= 5_000) & (F.col("k") <= 6_000))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (1001, sum(range(5_000, 6_001)))
+    # group-for-group identical to the semi-join prune
+    from cpp_parquet_spark.engine import prune_chunks
+
+    chunks.cache()
+    semi = sorted(
+        (r["part_id"], r["chunk_id"])
+        for r in prune_chunks(chunks, df.schema, "k", lower=5_000, upper=6_000)
+        .select("part_id", "chunk_id")
+        .distinct()
+        .collect()
+    )
+    n_all = chunks.select("part_id", "chunk_id").distinct().count()
+    assert 0 < len(semi) < n_all / 3
+    chunks.unpersist()
