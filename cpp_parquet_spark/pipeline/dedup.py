@@ -71,9 +71,16 @@ def token_jaccard_pairs(
     )
 
 
-def _shingle_hashes(col: Column, k: int = 3) -> Column:
-    """Hashes of token k-gram shingles, JVM-side."""
-    toks = _tokens(col)
+def _shingle_hashes(toks: Column, k: int = 3) -> Column:
+    """Hashes of token k-gram shingles, JVM-side.
+
+    ``toks`` MUST be a materialized column reference (an attribute from
+    a previous Project), not the token-extraction expression: the
+    k-gram transform slices ``toks`` inside its lambda, and Catalyst
+    re-evaluates a non-attribute subexpression there once PER ELEMENT —
+    inlining the regexp token extraction made the shingle pass
+    O(tokens x doc_len) per document (round-6 measured: minhash over
+    sf0.1 documents 13-16 s, 1.3 s staged)."""
     n = F.size(toks)
     idxs = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
@@ -130,16 +137,27 @@ def minhash_lsh_pairs(
     shingle → minhash → band → bucket-join: the shuffle key is the band
     hash, so work scales with bucket sizes, never n².
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        _shingle_hashes(F.col(text_col)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    # No size(sh) > 0 guard: the shingle array is non-empty by
+    # construction (sequence(1, greatest(n-k+1, 1)) always yields at
+    # least one index), and Catalyst pushed the old vacuous filter below
+    # the Project with the whole shingle expression inlined — re-running
+    # the quadratic-inlined token extraction per row in the Filter AND
+    # in the parquet DataFilters (round-6 plan audit).
+    tokd = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
+    shingled = tokd.select(
+        "id",
+        _shingle_hashes(F.col("toks")).alias("sh"),
+    )
     sigs = shingled.select("id", minhash_signature(F.col("sh")).alias("sig"))
 
     bands = sigs.select(
         "id", "sig", F.posexplode(_band_hashes("sig", _BANDS, _ROWS)).alias("band", "bh")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle-hash self-join (guide §3.1): the broadcast build side would
+    # re-execute the whole signature subtree per run (measured 1.9-12.8 s
+    # vs 1.2-1.6 s shuffled on the simhash twin); shuffling the banded
+    # rows lets both sides share one exchange shape
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
         .select(
@@ -187,7 +205,7 @@ def token_jaccard_pairs_lsh(
         .select("id", minhash_signature(F.col("sh")).alias("sig"))
     )
     banded = sigs.select("id", F.posexplode(_band_hashes("sig", bands, rows)).alias("band", "bh"))
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
@@ -239,13 +257,19 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         flat = np.concatenate(
             [np.asarray(a, dtype=np.int64) for a in th_series if a is not None and len(a)]
         ).view(np.uint64)
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int32
-        )  # [total, 64]
+        # [total, 64] uint8 bit matrix via unpackbits (little-endian:
+        # column j = bit j).  The r5 form ((flat[:, None] >> arange(64))
+        # & 1).astype(int32) materialized a [total, 64] uint64 broadcast
+        # (8 B/bit) plus an int32 copy — ~12x the memory traffic of the
+        # 1 B/bit unpackbits matrix; reduceat accumulates straight into
+        # int64 so no widened copy is ever built (round-6, guide §5).
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )  # [total, 64] uint8
         nz = lens > 0
         counts = lens[nz]
         starts = np.cumsum(counts) - counts
-        ones = np.add.reduceat(bits, starts, axis=0)  # [n_nz, 64]
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # [n_nz, 64]
         majority = (2 * ones) > counts[:, None]  # acc>0 ⇔ ones > len/2
         sim = (majority.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
         out[nz] = sim.astype(np.int64)
@@ -273,7 +297,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", i
             )
         ).alias("block", "bv"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    a, b = blocks.alias("a"), blocks.alias("b").hint("shuffle_hash")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
@@ -306,19 +330,30 @@ def winnow_fingerprints(
     :func:`md5_hash60` for a cross-engine-checkable variant."""
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = _tokens(F.col(text_col))
-    kh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, k))),
+    # Each stage materializes its array as a column before the next
+    # stage slices it inside a lambda: Catalyst re-evaluates non-
+    # attribute subexpressions inside lambda bodies once PER ELEMENT,
+    # so the fully-inlined form re-ran the regexp token extraction for
+    # every k-gram index — O(tokens x doc_len) per document (round-6
+    # measured: 256 s over sf0.1 documents, 2-3 s staged; the separate
+    # Projects survive CollapseProject because each array is referenced
+    # more than once downstream).
+    tokd = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
+    khd = tokd.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+        ).alias("kh"),
     )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(kh) - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(kh, i, window)),
+    wind = khd.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("kh") - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("kh"), i, window)),
+        ).alias("wins"),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(wins).alias("fingerprints"),
-    )
+    return wind.select("id", F.array_distinct(F.col("wins")).alias("fingerprints"))
 
 
 def substring_dup_spans(
