@@ -182,8 +182,11 @@ def _replay_blocked(
     are whole strings, boundaries at string starts.  Running ALL rounds
     on one cache-resident ~64K-token block before moving on halves the
     memory traffic versus streaming the full 10s-of-MB token array
-    through each round (measured 2x on the 30 MB content sample; output
-    is bit-identical by construction).
+    through each round (measured 2x on the 30 MB content sample).
+    Block-splitting alone is bit-identical to the round-by-round
+    replay; the stagnation guard below intentionally trades that
+    bit-identity for throughput after its warm-up window (later blocks
+    may run fewer rounds — the stream stays valid and decodable).
 
     Stagnation guard (the full-stream twin of the sample-shrink skip in
     encode_fsst): per-round shrink is accumulated over the first ~1M

@@ -63,6 +63,7 @@ class EncodeJob:
         chunk_rows: int = DEFAULT_CHUNK_ROWS,
         snapshot_id: str = "snap-0",
         salt_target_rows: int = 1 << 20,
+        stale_staging_sec: float = 3600.0,
     ) -> None:
         self.base_dir = base_dir
         self.chunks_dir = os.path.join(base_dir, "chunks")
@@ -73,6 +74,11 @@ class EncodeJob:
         self.chunk_rows = chunk_rows
         self.snapshot_id = snapshot_id
         self.salt_target_rows = salt_target_rows
+        # minimum age before an UNCLAIMED staging dir / commit tmp is
+        # treated as a crash leftover rather than a live concurrent
+        # writer's workspace (ADVICE r5: unconditional cleanup deleted a
+        # live writer's staging mid-run)
+        self.stale_staging_sec = stale_staging_sec
 
     # -------------------------------------------------- partition key
 
@@ -102,28 +108,84 @@ class EncodeJob:
         )
         return {r["part_id"] for r in rows}
 
+    def _committed_parts_fs(self) -> set[int]:
+        """Driver-side (sparkless) read of committed part ids from the
+        lineage dir — used to re-check freshness immediately before a
+        destructive cleanup."""
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(self.lineage_dir) or not os.listdir(self.lineage_dir):
+            return set()
+        try:
+            tbl = pq.read_table(self.lineage_dir, columns=["part_id", "status"])
+        except Exception:  # noqa: BLE001 - unreadable catalog: claim nothing
+            return set()
+        d = tbl.to_pydict()
+        return {int(p) for p, s in zip(d["part_id"], d["status"]) if s == "committed"}
+
+    def _publish_staging(self, staging: str) -> None:
+        """Move a staging dir's part dirs into the chunk store.  Shared
+        by run() (after winning the commit CAS) and the resume-time
+        roll-forward of a claimed-but-unpublished attempt; racing
+        publishers tolerate dirs the other mover already took."""
+        os.makedirs(self.chunks_dir, exist_ok=True)
+        for name in os.listdir(staging):
+            if not name.startswith("part_id="):
+                continue
+            dst = os.path.join(self.chunks_dir, name)
+            if os.path.isdir(dst):  # pragma: no cover - crash-race leftover
+                shutil.rmtree(dst)
+            try:
+                os.replace(os.path.join(staging, name), dst)
+            except FileNotFoundError:  # pragma: no cover - concurrent roll-forward
+                pass
+        shutil.rmtree(staging, ignore_errors=True)
+
     def _clean_orphans(self, completed: set[int]) -> list[int]:
-        """Drop chunk dirs written by a crashed attempt (data present,
-        lineage missing) so resume re-encodes them exactly once.  Stale
-        staging dirs (crash before publish) are dropped too."""
+        """Resume-time repair (ADVICE r5 rework):
+
+        * staging dirs whose commit file EXISTS are a claimed attempt
+          that crashed mid-publish — roll the publish forward;
+        * unclaimed staging dirs / commit tmps are dropped only when
+          provably stale (older than ``stale_staging_sec``) — a fresh
+          one may belong to a live concurrent writer;
+        * chunk part dirs without committed lineage are crash orphans —
+          the committed set is re-read from the filesystem immediately
+          before deleting so a concurrently-landing commit is honored.
+        """
         dropped = []
+        now = time.time()
         for name in os.listdir(self.base_dir) if os.path.isdir(self.base_dir) else []:
+            path = os.path.join(self.base_dir, name)
             if name.startswith("staging-"):
-                shutil.rmtree(os.path.join(self.base_dir, name))
+                commit_name = "commit-" + name[len("staging-"):] + ".parquet"
+                if os.path.exists(os.path.join(self.lineage_dir, commit_name)):
+                    self._publish_staging(path)  # roll forward
+                elif now - os.path.getmtime(path) > self.stale_staging_sec:
+                    shutil.rmtree(path)
             elif name.startswith(".commit-") and name.endswith(".tmp"):
                 # commit temp left by a crash mid-write: the real commit
-                # file only ever appears atomically (os.link), so a
-                # leftover tmp is garbage, never a half-commit
-                os.unlink(os.path.join(self.base_dir, name))
+                # file only ever appears atomically (os.link), so an OLD
+                # tmp is garbage, never a half-commit; a fresh one may
+                # be a live writer about to link it
+                if now - os.path.getmtime(path) > self.stale_staging_sec:
+                    os.unlink(path)
         if not os.path.isdir(self.chunks_dir):
             return dropped
+        candidates = []
         for name in os.listdir(self.chunks_dir):
             if not name.startswith("part_id="):
                 continue
             pid = int(name.split("=", 1)[1])
             if pid not in completed:
-                shutil.rmtree(os.path.join(self.chunks_dir, name))
-                dropped.append(pid)
+                candidates.append((pid, name))
+        if candidates:
+            completed = completed | self._committed_parts_fs()
+        for pid, name in candidates:
+            if pid in completed:
+                continue
+            shutil.rmtree(os.path.join(self.chunks_dir, name))
+            dropped.append(pid)
         return dropped
 
     # -------------------------------------------------- run / resume
@@ -234,20 +296,14 @@ class EncodeJob:
                 "resume from the winner's lineage"
             )
 
-        # publish: move staged part dirs into the chunk store, then
-        # commit lineage; a crash in between leaves orphans that
-        # _clean_orphans drops on the next resume
-        t0 = time.time()
-        os.makedirs(self.chunks_dir, exist_ok=True)
-        for name in os.listdir(staging):
-            if not name.startswith("part_id="):
-                continue
-            dst = os.path.join(self.chunks_dir, name)
-            if os.path.isdir(dst):  # pragma: no cover - crash-race leftover
-                shutil.rmtree(dst)
-            os.replace(os.path.join(staging, name), dst)
-        shutil.rmtree(staging)
-        timings["publish_rename_sec"] = round(time.time() - t0, 3)
+        # Commit ORDER (ADVICE r5 rework): claim the snapshot FIRST via
+        # the lineage-file CAS, and only then move part dirs into the
+        # chunk store.  The loser of a race now raises before touching
+        # a single published dir (the r5 order published first, so a
+        # loser could clobber the winner's data dirs and only then fail
+        # the CAS).  A crash between claim and publish leaves the
+        # staging dir + commit file, which _clean_orphans rolls forward
+        # on the next resume — the commit file is the source of truth.
         t0 = time.time()
         if lineage_rows:
             # the commit is <= num_parts metadata rows: write it
@@ -255,6 +311,8 @@ class EncodeJob:
             # driver/metadata operation, not a Spark job — routing it
             # through createDataFrame+write cost ~1.9 s of fixed
             # overhead per commit)
+            import contextlib
+
             import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_schema
@@ -280,14 +338,27 @@ class EncodeJob:
             try:
                 os.link(tmp, dst)
             except FileExistsError:
+                shutil.rmtree(staging, ignore_errors=True)
                 raise ConcurrentCommitError(
                     f"snapshot {self.snapshot_id!r} attempt {attempt} was "
                     f"committed by a concurrent writer ({dst} exists); "
                     "re-run to resume from the winner's lineage"
                 ) from None
+            except FileNotFoundError:  # pragma: no cover - cleaner race
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    "commit tmp vanished before linking (a concurrent "
+                    "cleaner treated it as stale); re-run to resume"
+                ) from None
             finally:
-                os.unlink(tmp)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(tmp)
         timings["lineage_commit_sec"] = round(time.time() - t0, 3)
+        # publish: move the now-committed attempt's part dirs into the
+        # chunk store (roll-forward-safe, see _publish_staging)
+        t0 = time.time()
+        self._publish_staging(staging)
+        timings["publish_rename_sec"] = round(time.time() - t0, 3)
         return {
             "committed_partitions": len(lineage_rows),
             "skipped_partitions": len(completed),

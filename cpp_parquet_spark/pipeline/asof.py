@@ -22,6 +22,13 @@ fix at 100 TB is time-slicing hot keys (carry the last value across
 slice boundaries), which composes with this operator but is not
 needed for key spaces like user_id.
 
+Tie note (ADVICE r5): when several right rows share (key, ts), the
+window orders by (ts, _side) only, so which of the tied rows wins is
+not pinned — the same as DuckDB's native ASOF, whose tie choice is
+likewise unspecified.  An explicit tiebreaker column would pin OUR
+side without pinning the oracle's, so it is deliberately not added;
+the driver events data is verified tie-free at every SF (round-6).
+
 Caveat: a genuinely-NULL value column on the right side is
 indistinguishable from "no match yet" inside the fill; pre-coalesce
 such columns if that distinction matters.

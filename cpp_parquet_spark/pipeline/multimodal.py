@@ -94,7 +94,7 @@ def _fake_features_batch(lengths, payload):
     return hist / np.maximum(tot, 1.0)  # empty payload -> zeros
 
 
-def _real_features_batch(b, lengths):
+def _real_features_batch(b):
     """Real-decode path (round-5): PNG via zlib + vectorized scanline
     unfilter, WAV via RIFF parse + np.frombuffer (media_codecs.py,
     stdlib only) — the 16-bin histogram runs over the DECODED bytes
@@ -152,7 +152,7 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
             n = b.num_rows
             lengths, payload = _payload_components(b.column("payload"))
             if mode == "real":
-                feats = _real_features_batch(b, lengths)
+                feats = _real_features_batch(b)
             else:
                 feats = _fake_features_batch(lengths, payload)
             features = pa.ListArray.from_arrays(
@@ -175,11 +175,12 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
 def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8, mode: str = "fake") -> DataFrame:
     """Image 'resize' over the opaque payload column.
 
-    mode="real" raises at the PIL seam (no image libraries in this
-    container); mode="fake" nearest-neighbor-samples the payload bytes
-    as if they were a (height×width) single-channel bitmap using the
-    typed metadata — the Spark plumbing (schema, zero-copy binary
-    output, batch-wide index math) is the real deliverable.
+    mode="real" decodes image/png payloads with the stdlib-only codec
+    in media_codecs.py (zlib inflate + vectorized scanline unfilter)
+    and nearest-neighbor-resamples the DECODED pixels; mode="fake"
+    nearest-neighbor-samples the payload bytes as if they were a
+    (height×width) single-channel bitmap using the typed metadata —
+    the oracle-checkable twin.
     """
     import pyarrow as pa
 

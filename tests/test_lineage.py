@@ -117,13 +117,61 @@ def test_commit_is_atomic_and_tmp_cleaned(spark, workdir):
     job.run(src)
     # no tmp leftovers after a clean commit
     assert not [n for n in os.listdir(workdir) if n.endswith(".tmp")]
-    # plant a crash leftover: truncated tmp in base_dir
-    with open(os.path.join(workdir, ".commit-snap-0-a9.tmp"), "wb") as fh:
+    # plant a crash leftover: truncated tmp in base_dir, aged past the
+    # staleness gate (a FRESH tmp may belong to a live writer and must
+    # be left alone — ADVICE r5)
+    tmp_path = os.path.join(workdir, ".commit-snap-0-a9.tmp")
+    with open(tmp_path, "wb") as fh:
         fh.write(b"half a parquet file")
-    r = job.run(src)  # resume: no-op, but cleans the tmp
+    old = os.path.getmtime(tmp_path) - 2 * job.stale_staging_sec
+    os.utime(tmp_path, (old, old))
+    r = job.run(src)  # resume: no-op, but cleans the stale tmp
     assert r["committed_partitions"] == 0
     assert not [n for n in os.listdir(workdir) if n.endswith(".tmp")]
     assert job.lineage(spark).count() > 0  # lineage dir fully readable
+
+
+def test_fresh_unclaimed_staging_survives_cleanup(spark, workdir):
+    """ADVICE r5: a fresh staging dir with no commit file may be a LIVE
+    concurrent writer's workspace — resume must not delete it; a stale
+    one is a crash leftover and is dropped."""
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=4)
+    job.run(src)
+    live = os.path.join(workdir, "staging-snap-0-a7")
+    os.makedirs(os.path.join(live, "part_id=0"))
+    job.run(src)  # no-op resume
+    assert os.path.isdir(live), "fresh unclaimed staging must survive"
+    old = os.path.getmtime(live) - 2 * job.stale_staging_sec
+    os.utime(live, (old, old))
+    job.run(src)
+    assert not os.path.isdir(live), "stale unclaimed staging is dropped"
+
+
+def test_claimed_staging_rolls_forward(spark, workdir):
+    """Round-6 commit order: the lineage CAS claims the snapshot BEFORE
+    part dirs move into the chunk store; a crash in between leaves a
+    claimed staging dir that resume must roll FORWARD (publish), never
+    delete — the commit file is the source of truth."""
+    import shutil as sh
+
+    src = _src(spark)
+    job = EncodeJob(workdir, num_parts=4, chunk_rows=4096)
+    job.run(src)
+    # simulate the crash window: claimed (commit file exists) but one
+    # part dir still sits in staging
+    part = [n for n in os.listdir(job.chunks_dir) if n.startswith("part_id=")][0]
+    staging = os.path.join(workdir, "staging-snap-0-a1")
+    os.makedirs(staging, exist_ok=True)
+    sh.move(os.path.join(job.chunks_dir, part), os.path.join(staging, part))
+    assert not os.path.isdir(os.path.join(job.chunks_dir, part))
+
+    r = job.run(src)  # resume: rolls the publish forward
+    assert os.path.isdir(os.path.join(job.chunks_dir, part))
+    assert not os.path.isdir(staging)
+    assert r["committed_partitions"] == 0  # nothing re-encoded
+    decoded = job.decode(spark, src.schema)
+    assert decoded.count() == src.count()
 
 
 def test_concurrent_commit_loser_raises(spark, workdir):
