@@ -155,13 +155,28 @@ class EncodeJob:
         """
         dropped = []
         now = time.time()
+
+        def _newest_mtime(root: str) -> float:
+            """Newest mtime anywhere under ``root`` — a live writer may
+            not touch the top-level dir for the whole duration of a long
+            task write, so the top-level mtime alone can look stale
+            mid-job."""
+            newest = os.path.getmtime(root)
+            for dirpath, _dirs, files in os.walk(root):
+                for entry in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(dirpath, entry)))
+                    except OSError:  # pragma: no cover - racing writer
+                        pass
+            return newest
+
         for name in os.listdir(self.base_dir) if os.path.isdir(self.base_dir) else []:
             path = os.path.join(self.base_dir, name)
             if name.startswith("staging-"):
                 commit_name = "commit-" + name[len("staging-"):] + ".parquet"
                 if os.path.exists(os.path.join(self.lineage_dir, commit_name)):
                     self._publish_staging(path)  # roll forward
-                elif now - os.path.getmtime(path) > self.stale_staging_sec:
+                elif now - _newest_mtime(path) > self.stale_staging_sec:
                     shutil.rmtree(path)
             elif name.startswith(".commit-") and name.endswith(".tmp"):
                 # commit temp left by a crash mid-write: the real commit
