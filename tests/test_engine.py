@@ -468,3 +468,38 @@ def test_decode_grouped_window_prune_matches_semi_join(spark):
     n_all = chunks.select("part_id", "chunk_id").distinct().count()
     assert 0 < len(semi) < n_all / 3
     chunks.unpersist()
+
+
+def test_partition_for_encoding_bytes_salting(spark):
+    """Round-6: a key well under the rows target but over the
+    per-partition BYTE budget (one fat repo) must be salted across >1
+    partition, and the split must not lose or duplicate rows."""
+    big = spark.range(0, 3000).select(
+        F.lit("py").alias("lang"),
+        F.lit("megarepo").alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+        # ~20 KB per row -> ~60 MB for one key
+        F.repeat(F.concat(F.lit("line of code "), F.col("id").cast("string"), F.lit("\n")), 1000).alias("content"),
+    )
+    small = spark.range(0, 3000).select(
+        F.lit("go").alias("lang"),
+        F.concat(F.lit("r"), (F.col("id") % 50).cast("string")).alias("repo"),
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+        F.lit("tiny").alias("content"),
+    )
+    df = big.unionByName(small)
+    out = partition_for_encoding(df, num_partitions=8, target_rows=1 << 20)
+    stats = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("repo")
+        .agg(F.countDistinct("pid").alias("nparts"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    by_repo = {r["repo"]: r for r in stats}
+    # 60 MB >> budget clamp floor (4 MB): megarepo must be split
+    assert by_repo["megarepo"]["nparts"] > 1, stats
+    # no rows lost or duplicated by the salting
+    assert sum(r["cnt"] for r in stats) == 6000
+    assert by_repo["megarepo"]["cnt"] == 3000
