@@ -624,7 +624,16 @@ def partition_for_encoding(
             plan_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         except Exception:  # noqa: BLE001 - stats are a best-effort hint
             plan_bytes = 0
-        collect_floor = max(4 << 20, plan_bytes // max(num * 4, 1))
+        if plan_bytes >= 1 << 60:
+            # missing statistics surface as the defaultSizeInBytes
+            # sentinel (Long.MaxValue-ish); treating it as a real size
+            # would push the collection filter past every key and
+            # silently disable byte salting
+            plan_bytes = 0
+        # cap at 2 GB: the salt budget itself is capped at 1 GB, so a
+        # key above budget always samples past floor*frac*0.5 and is
+        # collected even when the stats overestimate
+        collect_floor = min(max(4 << 20, plan_bytes // max(num * 4, 1)), 2 << 30)
         gid_all = (1 << len(keys)) - 1
         agg_rows = (
             df.sample(fraction=frac, seed=42)
@@ -658,8 +667,18 @@ def partition_for_encoding(
             est_bytes = int((r["b"] or 0) / frac)
             salt_n = max(-(-est_rows // target_rows), -(-est_bytes // budget))
             if salt_n > 1:
-                skewed.append((tuple(str(r[k]) for k in keys), salt_n))
+                skewed.append(
+                    (
+                        tuple("\x00<NULL>" if r[k] is None else str(r[k]) for k in keys),
+                        salt_n,
+                    )
+                )
         if skewed:
+            # NULL-safe key text on BOTH sides: concat_ws silently drops
+            # NULL columns, so a skewed NULL-keyed group would build a
+            # "None" mapping entry the JVM lookup never produces (and a
+            # key literally named "None" would collide with it) — use an
+            # explicit NULL token via coalesce instead (round-6 review)
             mapping = F.create_map(
                 *[
                     x
@@ -668,7 +687,15 @@ def partition_for_encoding(
                 ]
             )
             salt_n_col = F.coalesce(
-                mapping[F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])],
+                mapping[
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.coalesce(F.col(k).cast("string"), F.lit("\x00<NULL>"))
+                            for k in keys
+                        ],
+                    )
+                ],
                 F.lit(1),
             )
             others = [c for c in df.columns if c not in keys]

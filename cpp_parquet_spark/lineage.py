@@ -19,6 +19,7 @@ data write and lineage commit are detected and dropped on resume.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import time
@@ -127,18 +128,45 @@ class EncodeJob:
         """Move a staging dir's part dirs into the chunk store.  Shared
         by run() (after winning the commit CAS) and the resume-time
         roll-forward of a claimed-but-unpublished attempt; racing
-        publishers tolerate dirs the other mover already took."""
+        publishers tolerate dirs the other mover already took.
+
+        Race discipline (round-6 review): NEVER delete ``dst`` before
+        the claimed copy is in place — a racing roll-forward that
+        rmtree'd first could permanently delete the partition another
+        publisher had just placed (lineage would say committed, data
+        gone).  An occupied ``dst`` is moved ASIDE, the staged copy
+        moved in, and only then is the aside copy dropped; if a racer
+        took the staged copy first, the aside copy is restored."""
         os.makedirs(self.chunks_dir, exist_ok=True)
-        for name in os.listdir(staging):
+        try:
+            entries = os.listdir(staging)
+        except FileNotFoundError:  # pragma: no cover - racer finished the publish
+            return
+        for name in entries:
             if not name.startswith("part_id="):
                 continue
+            src = os.path.join(staging, name)
             dst = os.path.join(self.chunks_dir, name)
-            if os.path.isdir(dst):  # pragma: no cover - crash-race leftover
-                shutil.rmtree(dst)
             try:
-                os.replace(os.path.join(staging, name), dst)
-            except FileNotFoundError:  # pragma: no cover - concurrent roll-forward
-                pass
+                os.replace(src, dst)
+                continue
+            except FileNotFoundError:  # pragma: no cover - racer took src
+                continue
+            except OSError:
+                pass  # dst exists (non-empty dir): take the aside path
+            aside = f"{dst}.aside-{os.getpid()}"
+            try:
+                os.replace(dst, aside)
+            except FileNotFoundError:  # pragma: no cover - dst vanished: retry plain
+                with contextlib.suppress(FileNotFoundError):
+                    os.replace(src, dst)
+                continue
+            try:
+                os.replace(src, dst)
+            except FileNotFoundError:  # pragma: no cover - racer placed it
+                os.replace(aside, dst)
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
     def _clean_orphans(self, completed: set[int]) -> list[int]:
@@ -173,7 +201,11 @@ class EncodeJob:
         for name in os.listdir(self.base_dir) if os.path.isdir(self.base_dir) else []:
             path = os.path.join(self.base_dir, name)
             if name.startswith("staging-"):
-                commit_name = "commit-" + name[len("staging-"):] + ".parquet"
+                token = name[len("staging-"):]
+                head, sep, tail = token.rpartition("-p")
+                if sep and tail.isdigit():
+                    token = head  # strip the per-process suffix
+                commit_name = "commit-" + token + ".parquet"
                 if os.path.exists(os.path.join(self.lineage_dir, commit_name)):
                     self._publish_staging(path)  # roll forward
                 elif now - _newest_mtime(path) > self.stale_staging_sec:
@@ -191,7 +223,16 @@ class EncodeJob:
         for name in os.listdir(self.chunks_dir):
             if not name.startswith("part_id="):
                 continue
-            pid = int(name.split("=", 1)[1])
+            tail = name.split("=", 1)[1]
+            if not tail.isdigit():
+                # ".aside-<pid>" leftovers from an interrupted publish
+                # swap: stale-gated like any other crash artifact
+                if ".aside-" in tail and now - os.path.getmtime(
+                    os.path.join(self.chunks_dir, name)
+                ) > self.stale_staging_sec:
+                    shutil.rmtree(os.path.join(self.chunks_dir, name), ignore_errors=True)
+                continue
+            pid = int(tail)
             if pid not in completed:
                 candidates.append((pid, name))
         if candidates:
@@ -245,7 +286,15 @@ class EncodeJob:
         # publish by renaming part dirs into the chunk store.
         shuffled = pending.repartition(self.num_parts, F.col("_part")).sortWithinPartitions("_part")
         chunks = encode_dataframe(shuffled, codec=self.codec, chunk_rows=self.chunk_rows, part_col="_part")
-        staging = os.path.join(self.base_dir, f"staging-{self.snapshot_id}-a{attempt}")
+        # per-process staging path: two racers that read the same
+        # catalog compute the SAME attempt number, and a shared staging
+        # dir would let one writer's mode("overwrite") clobber the
+        # other's in-flight staged data before the commit CAS could
+        # arbitrate (round-6 review); the commit file itself remains
+        # keyed on (snapshot, attempt) only
+        staging = os.path.join(
+            self.base_dir, f"staging-{self.snapshot_id}-a{attempt}-p{os.getpid()}"
+        )
         t0 = time.time()
         chunks.write.mode("overwrite").partitionBy("part_id").parquet(staging)
         timings["encode_and_stage_write_sec"] = round(time.time() - t0, 3)
@@ -387,8 +436,14 @@ class EncodeJob:
     def chunks(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.chunks_dir)
 
-    def decode(self, spark: SparkSession, schema, predicate=None) -> DataFrame:
+    def decode(self, spark: SparkSession, schema, predicate=None, num_partitions=None) -> DataFrame:
         """Decode the committed store; ``predicate=(column, lo, hi)``
         prunes chunks JVM-side before any payload reaches Python
-        (the store's predicate-pushdown surface)."""
-        return decode_dataframe(self.chunks(spark), schema, predicate=predicate)
+        (the store's predicate-pushdown surface).  ``num_partitions``
+        passes through to decode_dataframe's exchange sizing (default
+        one task per core; each decode task streams one chunk group at
+        a time, so task memory is bounded by chunk size, not partition
+        size)."""
+        return decode_dataframe(
+            self.chunks(spark), schema, predicate=predicate, num_partitions=num_partitions
+        )

@@ -454,19 +454,22 @@ def test_decode_grouped_window_prune_matches_semi_join(spark):
         .collect()[0]
     )
     assert (got["n"], got["s"]) == (1001, sum(range(5_000, 6_001)))
-    # group-for-group identical to the semi-join prune
+    # the window prune must decode exactly the rows of the semi-join
+    # prune's surviving chunk set — not all 40k rows (a no-op prune
+    # would still pass the exact-filter assertion above)
     from cpp_parquet_spark.engine import prune_chunks
 
     chunks.cache()
-    semi = sorted(
-        (r["part_id"], r["chunk_id"])
-        for r in prune_chunks(chunks, df.schema, "k", lower=5_000, upper=6_000)
-        .select("part_id", "chunk_id")
-        .distinct()
-        .collect()
+    semi_pruned = prune_chunks(chunks, df.schema, "k", lower=5_000, upper=6_000)
+    semi_rows = (
+        semi_pruned.filter(F.col("column") == "k").agg(F.sum("num_rows")).collect()[0][0]
     )
+    window_rows = decoded.count()
+    assert window_rows == semi_rows, (window_rows, semi_rows)
+    assert window_rows < 40_000 / 3
     n_all = chunks.select("part_id", "chunk_id").distinct().count()
-    assert 0 < len(semi) < n_all / 3
+    n_semi = semi_pruned.select("part_id", "chunk_id").distinct().count()
+    assert 0 < n_semi < n_all / 3
     chunks.unpersist()
 
 
