@@ -603,6 +603,14 @@ def partition_for_encoding(
     constant tuned for either local mode or the cluster; splitting
     keeps each salt bucket's rows on one key, so dict/rle clustering
     within buckets is preserved.
+
+    Known sampling limitation: detection rides the row-count sampling
+    fraction, so a key that is byte-heavy but row-LIGHT (a handful of
+    near-budget-sized rows) can be missed by the sample entirely —
+    per-key byte totals are unknowable without reading lengths, and
+    the fraction is sized for the row target.  Such rows also exceed
+    chunk/Arrow batch sizing assumptions elsewhere; a dedicated
+    giant-row pre-filter would be the fix if such data appears.
     """
     spark = df.sparkSession
     num = num_partitions or spark.sparkContext.defaultParallelism * 2
